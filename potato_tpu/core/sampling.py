@@ -1,0 +1,50 @@
+"""Closed-form sampling of the reference's rejection distributions.
+
+The reference rejection-samples UnitDisk/UnitBall/UnitSphere in loops
+(src/randomness.rs:19-73) — data-dependent control flow that cannot exist
+under jit. Each distribution here is an exact closed-form transform of
+uniforms, so the *distributions* match while the noise realization differs
+(goldens therefore compare statistics, see tests/test_sampling.py).
+
+All functions take uniforms in [0,1) with any batch shape and return
+(..., N) arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def closed_range(u, lo, hi):
+    """Uniform in [lo, hi] (reference src/randomness.rs:10-16)."""
+    return lo + u * (hi - lo)
+
+
+def unit_disk(u1, u2):
+    """Uniform inside the unit disk via the polar map
+    (equivalent in distribution to reference src/randomness.rs:19-34)."""
+    r = jnp.sqrt(u1)
+    theta = (2.0 * np.pi) * u2
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def unit_sphere(u1, u2):
+    """Uniform on the unit sphere (equivalent in distribution to the
+    Marsaglia rejection at reference src/randomness.rs:56-73)."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    theta = (2.0 * np.pi) * u2
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
+
+
+def unit_ball(u1, u2, u3):
+    """Uniform inside the unit ball: sphere direction scaled by cbrt(u)
+    (equivalent in distribution to reference src/randomness.rs:37-53)."""
+    s = unit_sphere(u1, u2)
+    return s * jnp.cbrt(u3)[..., None]
+
+
+def bernoulli(u, p):
+    """True with probability p (reference src/randomness.rs:76-82)."""
+    return u < p
