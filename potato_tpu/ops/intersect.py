@@ -1,0 +1,140 @@
+"""Primitive intersection: analytic spheres + Möller–Trumbore triangles.
+
+Batched, branchless analogues of the reference's scalar intersectors
+(`hit_sphere` src/hittable.rs:39-63, `hit_triangle` src/hittable.rs:65-108,
+`hit_list` src/hittable.rs:110-120). Every function broadcasts rays
+(..., 3) against primitives and returns mask + hit fields; `Option<Hit>`
+becomes a valid mask with safe dummy values in masked lanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from potato_tpu.core import math as pmath
+from potato_tpu.core.types import BIG, SMOL, HitBatch, RayBatch
+
+
+def sphere_hit_t(center, radius, origin, direction, t_min, t_max):
+    """Quadratic sphere test (reference src/hittable.rs:39-57): half-b form,
+    closer root first, farther root if the closer is out of range.
+
+    All args broadcast; returns (t, valid).
+    """
+    to_center = origin - center
+    a = pmath.norm_squared(direction)
+    half_b = pmath.dot(direction, to_center)
+    c = pmath.norm_squared(to_center) - radius * radius
+    delta = half_b * half_b - a * c
+    sphere_ok = delta > 0.0
+
+    sqrt_delta = jnp.sqrt(jnp.maximum(delta, 0.0))
+    inv_a = 1.0 / a
+    t0 = (-half_b - sqrt_delta) * inv_a
+    t1 = (-half_b + sqrt_delta) * inv_a
+    t0_ok = (t0 >= t_min) & (t0 <= t_max)
+    t1_ok = (t1 >= t_min) & (t1 <= t_max)
+    t = jnp.where(t0_ok, t0, t1)
+    valid = sphere_ok & (t0_ok | t1_ok)
+    return jnp.where(valid, t, BIG), valid
+
+
+def sphere_hit_fields(center, radius, t, origin, direction):
+    """Position/normal/uv of a sphere hit (reference src/hittable.rs:59-62)."""
+    position = origin + t[..., None] * direction
+    normal = (position - center) / radius[..., None]
+    uv = pmath.equirect_uv(normal)
+    return position, normal, uv
+
+
+def triangle_hit_t(pa, pb, pc, origin, direction, t_min, t_max):
+    """Cramer's-rule Möller–Trumbore (reference src/hittable.rs:65-101):
+    solve [a-b, a-c, d] [u v t]^T = a-o. Degenerate dets (< SMOL) miss.
+
+    Returns (t, u, v, valid); barycentric weight of corner a is w = 1-u-v.
+    """
+    ba = pa - pb
+    ca = pa - pc
+    pa_o = pa - origin
+    d = direction
+
+    # det = ba . (ca x d)  (triple product, expanded like the reference)
+    ca_x_d = jnp.cross(ca, d)
+    det = pmath.dot(ba, ca_x_d)
+    det_ok = jnp.abs(det) >= SMOL
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+
+    # triple-product identities: t = pa.(ba x ca),  u = pa.(ca x d),
+    # v = pa.(d x ba) = d.(ba x pa)   (all cyclic permutations, sign kept)
+    t = pmath.dot(pa_o, jnp.cross(ba, ca)) * inv_det
+    u = pmath.dot(pa_o, ca_x_d) * inv_det
+    v = pmath.dot(d, jnp.cross(ba, pa_o)) * inv_det
+    w = 1.0 - u - v
+
+    valid = det_ok & (t >= t_min) & (t <= t_max) & (u >= 0.0) & (v >= 0.0) & (w >= 0.0)
+    return jnp.where(valid, t, BIG), u, v, valid
+
+
+def triangle_hit_fields(t, u, v, na, nb, nc, ua, ub, uc, origin, direction):
+    """Barycentric interpolation of normal/uv (reference src/hittable.rs:103-107).
+    The interpolated normal is intentionally NOT renormalized (quirk kept)."""
+    w = (1.0 - u - v)[..., None]
+    position = origin + t[..., None] * direction
+    normal = w * na + u[..., None] * nb + v[..., None] * nc
+    uv = w[..., :1] * ua + u[..., None] * ub + v[..., None] * uc
+    return position, normal, uv
+
+
+def intersect_brute_force(tables, rays: RayBatch) -> HitBatch:
+    """Closest hit over ALL spheres and triangles: dense (B, N) tests.
+
+    This is the reference's `Hittable::List` oracle (src/hittable.rs:110-120)
+    — exact, no acceleration — used for small scenes and as the correctness
+    oracle for the clustered traversal. Maps to dense VPU ops.
+    """
+    origin = rays.origin[:, None, :]      # (B,1,3)
+    direction = rays.direction[:, None, :]
+    t_min = rays.t_min[:, None]
+    t_max = rays.t_max[:, None]
+
+    # --- spheres: (B, S) ---
+    st, s_valid = sphere_hit_t(
+        tables.s_center[None, :, :], tables.s_radius[None, :],
+        origin, direction, t_min, t_max)
+    s_best = jnp.argmin(jnp.where(s_valid, st, BIG), axis=1)       # (B,)
+    s_t = jnp.take_along_axis(st, s_best[:, None], axis=1)[:, 0]
+    s_hit = jnp.take_along_axis(s_valid, s_best[:, None], axis=1)[:, 0]
+
+    # --- triangles: (B, T) ---
+    tt, tu, tv, t_valid = triangle_hit_t(
+        tables.tri_pa[None], tables.tri_pb[None], tables.tri_pc[None],
+        origin, direction, t_min, t_max)
+    t_best = jnp.argmin(jnp.where(t_valid, tt, BIG), axis=1)
+    take = lambda a: jnp.take_along_axis(a, t_best[:, None], axis=1)[:, 0]  # noqa: E731
+    tr_t, tr_u, tr_v = take(tt), take(tu), take(tv)
+    tr_hit = take(t_valid)
+
+    # --- assemble the winning record per lane ---
+    sphere_wins = s_hit & (~tr_hit | (s_t <= tr_t))
+
+    sc = tables.s_center[s_best]
+    sr = tables.s_radius[s_best]
+    s_pos, s_nrm, s_uv = sphere_hit_fields(sc, sr, s_t, rays.origin, rays.direction)
+    s_mat = tables.s_material[s_best]
+
+    t_pos, t_nrm, t_uv = triangle_hit_fields(
+        tr_t, tr_u, tr_v,
+        tables.tri_na[t_best], tables.tri_nb[t_best], tables.tri_nc[t_best],
+        tables.tri_ua[t_best], tables.tri_ub[t_best], tables.tri_uc[t_best],
+        rays.origin, rays.direction)
+    t_mat = tables.tri_material[t_best]
+
+    sw3 = sphere_wins[:, None]
+    return HitBatch(
+        t=jnp.where(sphere_wins, s_t, tr_t),
+        position=jnp.where(sw3, s_pos, t_pos),
+        normal=jnp.where(sw3, s_nrm, t_nrm),
+        uv=jnp.where(sw3, s_uv, t_uv),
+        material=jnp.where(sphere_wins, s_mat, t_mat),
+        valid=s_hit | tr_hit,
+    )

@@ -1,0 +1,140 @@
+"""Branchless, differentiable material evaluation (scatter / absorb / emit).
+
+Device analogue of the reference's enum dispatch (src/material.rs:27-34,
+49-60, 74-81) and scatter implementations (src/material.rs:115-180):
+every variant is computed on the VPU for every lane, the per-lane material
+kind selects the result. `Option<Ray>` becomes (direction, valid-mask).
+
+Differentiability conventions (BASELINE.json north star):
+- albedo / emission colors and texels: gradients flow linearly.
+- Metal fuzziness: reparameterized — the fuzzed direction depends smoothly
+  on the parameter (reflect + fuzz * unit_ball), as in the reference.
+- Dielectric IOR: gradients flow through eta, Schlick reflectance and the
+  refracted direction; the reflect-vs-refract Bernoulli *choice* is
+  detached (sampled from a parameter-independent uniform). The choice
+  probability's own gradient can be recovered with a score-function
+  surrogate (potato_tpu.diff) when unbiased IOR gradients are required.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from potato_tpu.core import math as pmath
+from potato_tpu.core import sampling
+from potato_tpu.core.types import HitBatch
+from potato_tpu.ops.texture import sample_texture
+from potato_tpu.scene import description as d
+
+
+class ScatterSample(NamedTuple):
+    direction: jnp.ndarray  # (B,3) next bounce direction (dummy when invalid)
+    valid: jnp.ndarray      # (B,) False = path absorbed (reference: Option None)
+
+
+def eval_emit(tables, kind, color, tex, ray_direction, hit: HitBatch):
+    """Emission (reference src/material.rs:49-60). `kind/color/tex` are the
+    per-lane gathered emit fields (also used for the scene background with
+    broadcast scalars and an at-infinity hit)."""
+    # SkyGradient normalizes defensively, like the reference (material.rs:55)
+    dir_y = ray_direction[..., 1] / jnp.linalg.norm(ray_direction, axis=-1)
+    t = (0.5 * (dir_y + 1.0))[..., None]
+    sky = (1.0 - t) * jnp.ones(3, ray_direction.dtype) + t * jnp.asarray(
+        [0.5, 0.7, 1.0], ray_direction.dtype)
+
+    sphere_tex = sample_texture(tables, tex, hit.position, hit.uv)
+
+    out = jnp.zeros_like(color)                                   # EMIT_NONE
+    out = jnp.where((kind == d.EMIT_DEBUG_NORMALS)[..., None], hit.normal, out)
+    out = jnp.where((kind == d.EMIT_COLOR)[..., None], color, out)
+    out = jnp.where((kind == d.EMIT_SKY_GRADIENT)[..., None], sky, out)
+    out = jnp.where((kind == d.EMIT_SKY_SPHERE)[..., None], sphere_tex, out)
+    return out
+
+
+def eval_absorb(tables, kind, color, tex, hit: HitBatch):
+    """Absorption tint (reference src/material.rs:74-81)."""
+    mapped = sample_texture(tables, tex, hit.position, hit.uv)
+    out = jnp.zeros_like(color)                                   # BlackBody
+    out = jnp.where((kind == d.ABSORB_WHITE_BODY)[..., None],
+                    jnp.ones_like(color), out)
+    out = jnp.where((kind == d.ABSORB_ALBEDO)[..., None], color, out)
+    out = jnp.where((kind == d.ABSORB_ALBEDO_MAP)[..., None], mapped, out)
+    return out
+
+
+def eval_scatter(tables, kind, param, ray_direction, hit: HitBatch,
+                 u1, u2, u3, u4) -> ScatterSample:
+    """Scatter sampling (reference src/material.rs:115-180).
+
+    u1..u3: uniforms for the sphere/ball sample; u4: the dielectric's
+    reflect-vs-refract Bernoulli draw. All (B,).
+    """
+    normal = hit.normal
+    cos_in = pmath.dot(normal, ray_direction)
+    backface = cos_in > 0.0
+
+    # --- Lambert (material.rs:115-130): normal + unit sphere, backface culled
+    sphere = sampling.unit_sphere(u1, u2)
+    lambert_dir = pmath.safe_normalize(normal + sphere)
+    lambert_valid = ~backface
+
+    # --- Metal (material.rs:132-152): reflect + fuzz * unit ball; cull if
+    # the fuzz pushed the ray below the surface
+    reflected = pmath.reflect(ray_direction, normal)
+    ball = sampling.unit_ball(u1, u2, u3)
+    metal_dir = pmath.safe_normalize(reflected + param[..., None] * ball)
+    metal_valid = ~backface & (pmath.dot(normal, metal_dir) >= 0.0)
+
+    # --- Dielectric (material.rs:154-180): interior flip, Schlick,
+    # Bernoulli reflect-vs-refract, TIR fallback to reflect
+    interior = backface
+    n = jnp.where(interior[..., None], -normal, normal)
+    eta = jnp.where(interior, param, 1.0 / jnp.maximum(param, 1e-8))
+    reflectance = pmath.schlick_reflectance(pmath.dot(n, ray_direction), eta)
+    refracted, refract_ok = pmath.refract(ray_direction, n, eta)
+    reflect_n = pmath.reflect(ray_direction, n)
+    choose_reflect = sampling.bernoulli(u4, jax.lax.stop_gradient(reflectance))
+    dielectric_dir = jnp.where(
+        (choose_reflect | ~refract_ok)[..., None], reflect_n, refracted)
+
+    out = jnp.zeros_like(ray_direction)
+    out = out.at[..., 2].set(1.0)  # inert dummy for SCATTER_NONE lanes
+    valid = jnp.zeros_like(backface)
+    out = jnp.where((kind == d.SCATTER_LAMBERT)[..., None], lambert_dir, out)
+    valid = jnp.where(kind == d.SCATTER_LAMBERT, lambert_valid, valid)
+    out = jnp.where((kind == d.SCATTER_METAL)[..., None], metal_dir, out)
+    valid = jnp.where(kind == d.SCATTER_METAL, metal_valid, valid)
+    out = jnp.where((kind == d.SCATTER_DIELECTRIC)[..., None], dielectric_dir, out)
+    valid = jnp.where(kind == d.SCATTER_DIELECTRIC,
+                      jnp.ones_like(backface), valid)
+    return ScatterSample(direction=out, valid=valid)
+
+
+class MaterialOutput(NamedTuple):
+    """Per-lane material evaluation (reference MaterialOutput,
+    src/material.rs:93-97)."""
+
+    scatter: ScatterSample
+    absorb: jnp.ndarray  # (B,3)
+    emit: jnp.ndarray    # (B,3)
+
+
+def eval_material(tables, material_id, ray_direction, hit: HitBatch,
+                  u1, u2, u3, u4) -> MaterialOutput:
+    """Gather the per-lane material record and evaluate all three functions
+    (reference Material::evaluate, src/material.rs:104-110)."""
+    mid = material_id
+    scatter = eval_scatter(
+        tables, tables.m_scatter_kind[mid], tables.m_scatter_param[mid],
+        ray_direction, hit, u1, u2, u3, u4)
+    absorb = eval_absorb(
+        tables, tables.m_absorb_kind[mid], tables.m_absorb_color[mid],
+        tables.m_absorb_tex[mid], hit)
+    emit = eval_emit(
+        tables, tables.m_emit_kind[mid], tables.m_emit_color[mid],
+        tables.m_emit_tex[mid], ray_direction, hit)
+    return MaterialOutput(scatter=scatter, absorb=absorb, emit=emit)

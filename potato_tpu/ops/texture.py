@@ -1,0 +1,76 @@
+"""Branchless texture sampling over the flat texture tables.
+
+Device analogue of the reference's recursive `Texture::sample`
+(src/texture.rs:21-35). The enum match becomes compute-all-kinds +
+select-by-kind; the checker's recursion (reference src/texture.rs:51-60,
+unbounded and cycle-unsafe there) becomes a static unroll of
+`CHECKER_DEPTH` levels — enough for any checker-of-checker-of-leaf chain.
+
+Differentiability: the atlas gather and solid colors carry gradients
+(texel/albedo optimization); procedural noises are treated as constants in
+position (their lattice hash is integer math).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from potato_tpu.core import noise
+from potato_tpu.scene import description as d
+
+# Static recursion depth for Checker children. Reference scenes nest at most
+# checker -> (solid | perlin); depth 2 leaves headroom.
+CHECKER_DEPTH = 2
+
+
+def sample_image(tables, tex_id, uv):
+    """Nearest-neighbor, clamped image lookup (reference src/texture.rs:40-49).
+
+    Texels live in the shared atlas; (offset, width, height) per texture.
+    """
+    meta = tables.t_image[tex_id]                       # (B,3) int32
+    w = meta[..., 1].astype(uv.dtype)
+    h = meta[..., 2].astype(uv.dtype)
+    i = jnp.clip(uv[..., 0] * w, 0.0, w - 1.0).astype(jnp.int32)
+    j = jnp.clip(uv[..., 1] * h, 0.0, h - 1.0).astype(jnp.int32)
+    flat = meta[..., 0] + j * meta[..., 1] + i
+    return tables.atlas[flat]                           # (B,3)
+
+
+def sample_texture(tables, tex_id, position, uv, depth: int = CHECKER_DEPTH):
+    """Sample per-lane texture ids: tex_id (B,), position (B,3), uv (B,2)
+    -> (B,3) linear color."""
+    kind = tables.t_kind[tex_id]                        # (B,)
+    color = tables.t_color[tex_id]                      # (B,3)
+    seed = tables.t_seed[tex_id]                        # (B,)
+
+    # kind-specific values, all computed, selected at the end
+    debug_uvs = jnp.stack(
+        [uv[..., 0], uv[..., 1], jnp.zeros_like(uv[..., 0])], axis=-1)
+
+    image = sample_image(tables, tex_id, uv)
+
+    nval = noise.value_noise(position, seed)
+    noise_col = jnp.broadcast_to(nval[..., None], nval.shape + (3,))
+    pval = noise.perlin(position, seed)
+    perlin_col = jnp.broadcast_to(pval[..., None], pval.shape + (3,))
+
+    if depth > 0:
+        # checker parity (reference src/texture.rs:51-60): even iff
+        # floor(x)+floor(y)+floor(z) is an even integer
+        fsum = jnp.sum(jnp.floor(position), axis=-1)
+        even = jnp.mod(fsum, 2.0) == 0.0
+        children = tables.t_children[tex_id]            # (B,2) (odd, even)
+        child = jnp.where(even, children[..., 1], children[..., 0])
+        checker = sample_texture(tables, child, position, uv, depth - 1)
+    else:
+        checker = jnp.zeros_like(color)
+
+    out = jnp.zeros_like(color)                         # TEX_MISSING -> black
+    out = jnp.where((kind == d.TEX_DEBUG_UVS)[..., None], debug_uvs, out)
+    out = jnp.where((kind == d.TEX_SOLID)[..., None], color, out)
+    out = jnp.where((kind == d.TEX_IMAGE)[..., None], image, out)
+    out = jnp.where((kind == d.TEX_CHECKER)[..., None], checker, out)
+    out = jnp.where((kind == d.TEX_NOISE)[..., None], noise_col, out)
+    out = jnp.where((kind == d.TEX_PERLIN)[..., None], perlin_col, out)
+    return out

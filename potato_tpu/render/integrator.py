@@ -1,0 +1,117 @@
+"""Wavefront path-trace integrator.
+
+The TPU rewrite of the reference's recursion (`trace_path` /
+`trace_path_first` / `trace_path_continue`, src/render.rs:94-146): a
+fixed-depth `lax.scan` over bounces with SoA state
+
+    radiance  L += throughput * emit        (hit lanes)
+    L += throughput * background            (miss lanes, then retired)
+    throughput *= absorb                    (scattering lanes)
+
+which is exactly the reference recursion `emit + absorb . L(scatter)`
+unrolled into an accumulator. `Option` control flow becomes an `active`
+mask; a retired lane keeps flowing through the loop at zero cost to
+correctness (its contribution is masked). Depth semantics match the
+reference: `max_bounce` segments are traced, and a path still alive after
+the last material evaluation contributes that bounce's emission but no
+further scatter (render.rs:128-131 returns black at depth 0).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from potato_tpu.core import math as pmath
+from potato_tpu.core import rng as prng
+from potato_tpu.core.types import BIG, RAY_EPSILON, HitBatch, RayBatch, hits_at_infinity
+from potato_tpu.ops.material import eval_emit, eval_material
+
+
+class TraceResult(NamedTuple):
+    color: jnp.ndarray       # (B,3) path radiance
+    aov_normal: jnp.ndarray  # (B,3) first-hit normal (zeros on miss,
+                             # reference render.rs:119)
+    aov_hit: jnp.ndarray     # (B,) foreground/coverage mask (render.rs:121)
+
+
+def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
+                max_bounce: int, seed) -> TraceResult:
+    """Trace a batch of camera rays to completion.
+
+    intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
+    entry point (brute force or clustered), fixed per compiled scene.
+    """
+    b = ray_ids.shape
+    ray_ids = ray_ids.astype(jnp.uint32)
+
+    def background_radiance(direction):
+        hit_inf = hits_at_infinity(direction)
+        kind = jnp.broadcast_to(tables.bg_kind, b)
+        color = jnp.broadcast_to(tables.bg_color, b + (3,))
+        tex = jnp.broadcast_to(tables.bg_tex, b)
+        return eval_emit(tables, kind, color, tex, direction, hit_inf)
+
+    class State(NamedTuple):
+        rays: RayBatch
+        radiance: jnp.ndarray
+        throughput: jnp.ndarray
+        active: jnp.ndarray
+        aov_normal: jnp.ndarray
+        aov_hit: jnp.ndarray
+
+    init = State(
+        rays=rays,
+        radiance=jnp.zeros(b + (3,), jnp.float32),
+        throughput=jnp.ones(b + (3,), jnp.float32),
+        active=jnp.ones(b, bool),
+        aov_normal=jnp.zeros(b + (3,), jnp.float32),
+        aov_hit=jnp.zeros(b, bool),
+    )
+
+    def bounce_step(state: State, bounce):
+        hit: HitBatch = intersect_fn(tables, state.rays)
+
+        # per-bounce scatter uniforms, keyed (seed, bounce stream, ray id)
+        u1, u2 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ray_ids)
+        u3, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_ids)
+        u4, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_ids)
+
+        mat = eval_material(tables, hit.material, state.rays.direction, hit,
+                            u1, u2, u3, u4)
+        bg = background_radiance(state.rays.direction)
+
+        contrib = jnp.where(hit.valid[..., None], mat.emit, bg)
+        live = state.active[..., None].astype(jnp.float32)
+        radiance = state.radiance + state.throughput * contrib * live
+
+        # AOVs from the first segment only (trace_path_first, render.rs:102-122)
+        first = bounce == 0
+        aov_normal = jnp.where(
+            first, jnp.where(hit.valid[..., None], hit.normal, 0.0),
+            state.aov_normal)
+        aov_hit = jnp.where(first, hit.valid, state.aov_hit)
+
+        throughput = jnp.where(
+            (state.active & hit.valid)[..., None],
+            state.throughput * mat.absorb, state.throughput)
+        active = state.active & hit.valid & mat.scatter.valid
+
+        # Retired lanes keep flowing through the loop with an inert ray from
+        # the origin: without this, the BIG-t miss position (~3e38) overflows
+        # to inf/NaN in the next bounce's quadratics, and NaN survives the
+        # contribution mask (NaN * 0 = NaN).
+        next_rays = RayBatch(
+            origin=jnp.where(active[..., None], hit.position, 0.0),
+            direction=mat.scatter.direction,
+            t_min=jnp.full(b, RAY_EPSILON, jnp.float32),
+            t_max=jnp.full(b, BIG, jnp.float32),
+        )
+        return State(next_rays, radiance, throughput, active,
+                     aov_normal, aov_hit), None
+
+    final, _ = jax.lax.scan(bounce_step, init, jnp.arange(max_bounce))
+    return TraceResult(color=final.radiance, aov_normal=final.aov_normal,
+                       aov_hit=final.aov_hit)
