@@ -53,7 +53,9 @@ def refract(incident: jnp.ndarray, normal: jnp.ndarray, eta: jnp.ndarray):
     eta = jnp.broadcast_to(jnp.asarray(eta, incident.dtype), cos_theta.shape)
     k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
     valid = k > 0.0
-    sqrt_k = jnp.sqrt(jnp.maximum(k, 0.0))
+    # guard the sqrt argument on TIR lanes: sqrt'(0) = inf would turn the
+    # masked-out branch into NaN gradients (0 * inf) under reverse-mode AD
+    sqrt_k = jnp.sqrt(jnp.where(valid, k, 1.0))
     refr = (eta[..., None] * incident
             - (eta * cos_theta + sqrt_k)[..., None] * normal)
     return jnp.where(valid[..., None], refr, incident), valid

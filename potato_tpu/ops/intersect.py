@@ -42,7 +42,11 @@ def sphere_hit_t(center, radius, origin, direction, t_min, t_max):
 def sphere_hit_fields(center, radius, t, origin, direction):
     """Position/normal/uv of a sphere hit (reference src/hittable.rs:59-62)."""
     position = origin + t[..., None] * direction
-    normal = (position - center) / radius[..., None]
+    # guard the r=0 degenerate pad sphere: it never wins a hit, but an
+    # unguarded 0-division would put NaN in the untaken branch of downstream
+    # selects and poison gradients
+    safe_r = jnp.where(radius == 0.0, 1.0, radius)
+    normal = (position - center) / safe_r[..., None]
     uv = pmath.equirect_uv(normal)
     return position, normal, uv
 

@@ -139,9 +139,12 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     s_radius = np.asarray(builder.sphere_radius, np.float32).reshape(-1)
     s_material = np.asarray(builder.sphere_material, np.int32).reshape(-1)
     if ns == 0:
-        # one degenerate sphere (negative radius never hits: delta<=0 path)
+        # one degenerate sphere. radius must be 0, not negative: the
+        # quadratic only sees radius^2, so a radius -1 pad would act like a
+        # real unit sphere. With r=0, delta = (d.oc)^2 - |d|^2 |oc|^2 <= 0
+        # (Cauchy-Schwarz) and the `delta > 0` gate never passes.
         s_center = np.zeros((1, 3), np.float32)
-        s_radius = np.full((1,), -1.0, np.float32)
+        s_radius = np.zeros((1,), np.float32)
         s_material = np.zeros((1,), np.int32)
 
     # --- triangles: flatten all meshes into pre-gathered corner SoA ---

@@ -1,0 +1,55 @@
+"""Golden pipeline tests: vectorized wavefront renderer vs scalar oracle.
+
+The oracle (tests/oracle.py) is an independent recursive implementation
+consuming the same counter-based RNG streams, so images must agree to
+float32 tolerance — this pins camera, intersection, shading, texturing and
+integration end to end (SURVEY.md §4 item 3).
+"""
+
+import numpy as np
+import pytest
+
+from potato_tpu.render.renderer import render
+from potato_tpu.scene import examples
+
+from oracle import render_oracle
+
+
+def _compare(scene_builder, accel, size=24, spp=2, max_bounce=4, seed=7,
+             tol=2e-3, mismatch_frac=0.002):
+    compiled = scene_builder.build(accel=accel)
+    got = render(compiled, size, size, spp=spp, max_bounce=max_bounce,
+                 seed=seed).color.astype(np.float64)
+    want = render_oracle(compiled, size, size, spp, max_bounce, seed)
+    diff = np.abs(got - want)
+    # float32 vs float64 divergence can flip a near-tangent intersection on
+    # a few samples; demand near-exact agreement on almost every pixel
+    bad = (diff > tol).any(axis=-1)
+    assert bad.mean() <= mismatch_frac, (
+        f"{bad.sum()} mismatched pixels (max diff {diff.max():.4f})")
+
+
+def test_three_balls_matches_oracle():
+    # lambert + metal + dielectric + thin lens + sky gradient
+    _compare(examples.three_balls(), accel="brute")
+
+
+def test_two_balls_matches_oracle():
+    # checker + perlin textures
+    _compare(examples.two_balls(), accel="brute")
+
+
+def test_one_triangle_matches_oracle():
+    # triangle mesh + DebugNormals emission
+    _compare(examples.one_triangle(), accel="brute")
+
+
+def test_three_balls_clustered_matches_oracle():
+    # the cluster path on a small sphere scene must agree with the same
+    # brute-force oracle
+    _compare(examples.three_balls(), accel="cluster")
+
+
+@pytest.mark.slow
+def test_earth_matches_oracle():
+    _compare(examples.earth(), accel="brute", size=16)
