@@ -57,9 +57,11 @@ def generate_rays(camera: CameraTables, width: int, height: int, spp: int,
     direction = jnp.sum(camera.orientation * direction_local[..., None, :], axis=-1)
     origin = jnp.sum(camera.orientation * origin_local[..., None, :], axis=-1) + camera.position
 
-    b = ray_ids.shape
+    # derive the t bounds from ray data (not literals) so every RayBatch
+    # field carries the same varying-axis type under shard_map
+    zb = origin[..., 0] * 0.0
     return RayBatch(
         origin=origin, direction=direction,
-        t_min=jnp.full(b, RAY_EPSILON, jnp.float32),
-        t_max=jnp.full(b, BIG, jnp.float32),
+        t_min=zb + RAY_EPSILON,
+        t_max=zb + BIG,
     )

@@ -35,6 +35,10 @@ class TraceResult(NamedTuple):
     aov_normal: jnp.ndarray  # (B,3) first-hit normal (zeros on miss,
                              # reference render.rs:119)
     aov_hit: jnp.ndarray     # (B,) foreground/coverage mask (render.rs:121)
+    segments: jnp.ndarray    # () int32: path segments actually traced (live
+                             # lanes summed over bounces) — the rays/s
+                             # numerator, comparable to the reference's
+                             # per-segment scene.hit calls
 
 
 def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
@@ -61,14 +65,24 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         active: jnp.ndarray
         aov_normal: jnp.ndarray
         aov_hit: jnp.ndarray
+        segments: jnp.ndarray
+
+    # Derive every carried constant from the ray data instead of literals:
+    # under shard_map, literals are mesh-invariant while per-bounce updates
+    # are axis-varying, and lax.scan requires carry types to match. Arithmetic
+    # on the (varying) rays gives correctly-typed zeros/ones everywhere,
+    # inside and outside shard_map.
+    zb = rays.t_min * 0.0                      # (B,) varying zeros
+    zb3 = zb[..., None] + jnp.zeros(3, jnp.float32)
 
     init = State(
         rays=rays,
-        radiance=jnp.zeros(b + (3,), jnp.float32),
-        throughput=jnp.ones(b + (3,), jnp.float32),
-        active=jnp.ones(b, bool),
-        aov_normal=jnp.zeros(b + (3,), jnp.float32),
-        aov_hit=jnp.zeros(b, bool),
+        radiance=zb3,
+        throughput=zb3 + 1.0,
+        active=zb == 0.0,
+        aov_normal=zb3,
+        aov_hit=zb > 0.0,
+        segments=jnp.sum(zb).astype(jnp.int32),
     )
 
     def bounce_step(state: State, bounce):
@@ -103,15 +117,17 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         # the origin: without this, the BIG-t miss position (~3e38) overflows
         # to inf/NaN in the next bounce's quadratics, and NaN survives the
         # contribution mask (NaN * 0 = NaN).
+        zb_ = state.rays.t_min * 0.0  # varying-typed zeros (see init note)
         next_rays = RayBatch(
             origin=jnp.where(active[..., None], hit.position, 0.0),
             direction=mat.scatter.direction,
-            t_min=jnp.full(b, RAY_EPSILON, jnp.float32),
-            t_max=jnp.full(b, BIG, jnp.float32),
+            t_min=zb_ + RAY_EPSILON,
+            t_max=zb_ + BIG,
         )
+        segments = state.segments + jnp.sum(state.active.astype(jnp.int32))
         return State(next_rays, radiance, throughput, active,
-                     aov_normal, aov_hit), None
+                     aov_normal, aov_hit, segments), None
 
     final, _ = jax.lax.scan(bounce_step, init, jnp.arange(max_bounce))
     return TraceResult(color=final.radiance, aov_normal=final.aov_normal,
-                       aov_hit=final.aov_hit)
+                       aov_hit=final.aov_hit, segments=final.segments)

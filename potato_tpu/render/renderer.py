@@ -34,6 +34,7 @@ class RenderOutput:
     color: np.ndarray      # (H, W, 3) float32 linear radiance (spp-averaged)
     normal: np.ndarray     # (H, W, 3) first-hit normal AOV
     coverage: np.ndarray   # (H, W) float32 foreground fraction
+    segments: int = 0      # path segments traced (rays/s numerator)
 
     def srgb(self) -> np.ndarray:
         """(H, W, 4) uint8, gamma 1/2.2 (reference src/utility.rs:212-220)."""
@@ -48,7 +49,7 @@ def make_intersect_fn(scene: CompiledScene):
     return intersect_brute_force
 
 
-def render_chunk(tables, camera, intersect_fn, ray_ids, *, width, height,
+def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  spp, max_bounce, seed) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
     rays = generate_rays(camera, width, height, spp, ray_ids, seed)
@@ -73,6 +74,7 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
         spp=spp, max_bounce=max_bounce, seed=seed))
 
     colors, normals, hits = [], [], []
+    segments = 0
     for c in range(num_chunks):
         start = c * chunk_size
         # fixed chunk shape: the tail chunk wraps around (duplicate work on
@@ -82,6 +84,7 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
         colors.append(np.asarray(out.color))
         normals.append(np.asarray(out.aov_normal))
         hits.append(np.asarray(out.aov_hit))
+        segments += int(out.segments)
         if progress:
             print(f"\rchunk {c + 1}/{num_chunks}", end="", flush=True)
     if progress:
@@ -95,4 +98,5 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     color = color.reshape(height, width, spp, 3).mean(axis=2)
     normal = normal.reshape(height, width, spp, 3).mean(axis=2)
     coverage = hit.reshape(height, width, spp).mean(axis=2).astype(np.float32)
-    return RenderOutput(color=color, normal=normal, coverage=coverage)
+    return RenderOutput(color=color, normal=normal, coverage=coverage,
+                        segments=segments)
