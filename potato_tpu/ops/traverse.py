@@ -99,11 +99,14 @@ def intersect_clustered(accel: ClusterAccel, rays: RayBatch) -> HitBatch:
                                                keepdims=False)
         return (j < C) & jnp.any(entry_j < best_t)
 
+    # derive per-lane zeros from ray data (not literals) so the while_loop
+    # carry is axis-varying-typed under shard_map (see integrator note)
+    zb = rays.t_min * 0.0
     init = (jnp.int32(0),
             jnp.minimum(rays.t_max, BIG),
-            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-            jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.float32),
-            jnp.zeros(B, bool), jnp.zeros(B, bool))
+            zb.astype(jnp.int32), zb.astype(jnp.int32),
+            zb, zb,
+            zb > 1.0, zb > 1.0)
 
     state = jax.lax.while_loop(
         visit_cond, lambda s: visit(s, None)[0], init)
