@@ -71,12 +71,23 @@ def schlick_reflectance(cos_incident_normal: jnp.ndarray, eta: jnp.ndarray) -> j
 
 def equirect_uv(direction: jnp.ndarray) -> jnp.ndarray:
     """Equirectangular UVs of a unit direction
-    (reference src/utility.rs:93-100 and src/hittable.rs:61)."""
+    (reference src/utility.rs:93-100 and src/hittable.rs:61).
+
+    Latitude uses arctan2(y, hypot(x, z)) instead of the reference's
+    asin(y): equal for unit vectors, but asin'(±1) = inf turns into NaN
+    gradients at the poles under reverse-mode AD (inf * clip-grad 0). The
+    tiny hypot floor keeps the pole itself differentiable; the azimuth is
+    detached there (it is genuinely undefined at the poles).
+    """
     x = direction[..., 0]
     y = direction[..., 1]
     z = direction[..., 2]
-    u = 0.5 - jnp.arctan2(z, x) / (2.0 * np.pi)
-    v = jnp.arcsin(jnp.clip(y, -1.0, 1.0)) / np.pi + 0.5
+    r2 = x * x + z * z
+    at_pole = r2 < 1e-12
+    xs = jnp.where(at_pole, 1.0, x)
+    zs = jnp.where(at_pole, 0.0, z)
+    u = 0.5 - jnp.arctan2(zs, xs) / (2.0 * np.pi)
+    v = jnp.arctan2(y, jnp.sqrt(r2 + 1e-12)) / np.pi + 0.5
     return jnp.stack([u, v], axis=-1)
 
 

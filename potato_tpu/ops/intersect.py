@@ -28,7 +28,9 @@ def sphere_hit_t(center, radius, origin, direction, t_min, t_max):
     delta = half_b * half_b - a * c
     sphere_ok = delta > 0.0
 
-    sqrt_delta = jnp.sqrt(jnp.maximum(delta, 0.0))
+    # sqrt'(0) = inf: guard the miss lanes or reverse-mode AD turns their
+    # zero cotangent into NaN (0 * inf) and poisons the whole batch
+    sqrt_delta = jnp.sqrt(jnp.where(sphere_ok, delta, 1.0))
     inv_a = 1.0 / a
     t0 = (-half_b - sqrt_delta) * inv_a
     t1 = (-half_b + sqrt_delta) * inv_a
@@ -121,13 +123,19 @@ def intersect_brute_force(tables, rays: RayBatch) -> HitBatch:
     # --- assemble the winning record per lane ---
     sphere_wins = s_hit & (~tr_hit | (s_t <= tr_t))
 
+    # miss lanes carry t = BIG; computing fields at ~3e38 overflows (x^2 ->
+    # inf) and the inf/inf partials of the uv arctan2 NaN the backward pass
+    # even under a zero cotangent. Fields only matter for winners, so clamp.
+    s_t_safe = jnp.where(s_hit, s_t, 1.0)
+    tr_t_safe = jnp.where(tr_hit, tr_t, 1.0)
+
     sc = tables.s_center[s_best]
     sr = tables.s_radius[s_best]
-    s_pos, s_nrm, s_uv = sphere_hit_fields(sc, sr, s_t, rays.origin, rays.direction)
+    s_pos, s_nrm, s_uv = sphere_hit_fields(sc, sr, s_t_safe, rays.origin, rays.direction)
     s_mat = tables.s_material[s_best]
 
     t_pos, t_nrm, t_uv = triangle_hit_fields(
-        tr_t, tr_u, tr_v,
+        tr_t_safe, tr_u, tr_v,
         tables.tri_na[t_best], tables.tri_nb[t_best], tables.tri_nc[t_best],
         tables.tri_ua[t_best], tables.tri_ub[t_best], tables.tri_uc[t_best],
         rays.origin, rays.direction)

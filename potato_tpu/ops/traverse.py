@@ -112,14 +112,18 @@ def intersect_clustered(accel: ClusterAccel, rays: RayBatch) -> HitBatch:
         visit_cond, lambda s: visit(s, None)[0], init)
     _, best_t, best_c, best_k, best_u, best_v, best_sphere, found = state
 
-    # final field assembly: one gather of the winning primitive per lane
+    # final field assembly: one gather of the winning primitive per lane.
+    # clamp t on miss lanes — fields at BIG t overflow and NaN the backward
+    # pass (see intersect_brute_force)
+    t_safe = jnp.where(found, best_t, 1.0)
+
     def prim(a):
         return a[best_c, best_k]
 
     s_pos, s_nrm, s_uv = sphere_hit_fields(
-        prim(accel.pa), prim(accel.radius), best_t, origin, direction)
+        prim(accel.pa), prim(accel.radius), t_safe, origin, direction)
     t_pos, t_nrm, t_uv = triangle_hit_fields(
-        best_t, best_u, best_v,
+        t_safe, best_u, best_v,
         prim(accel.na), prim(accel.nb), prim(accel.nc),
         prim(accel.ua), prim(accel.ub), prim(accel.uc),
         origin, direction)

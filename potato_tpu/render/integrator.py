@@ -88,6 +88,21 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
     def bounce_step(state: State, bounce):
         hit: HitBatch = intersect_fn(tables, state.rays)
 
+        # Sanitize miss lanes before shading: their BIG-t positions (~3e38)
+        # overflow inside the compute-all-kinds texture/material dispatch
+        # (e.g. Perlin's corner dots hit inf - inf), and although the result
+        # is select-masked, NaN primals leak back out through the masked
+        # branch's cotangents under reverse-mode AD.
+        v1 = hit.valid
+        v3 = v1[..., None]
+        hit = hit._replace(
+            position=jnp.where(v3, hit.position, 0.0),
+            normal=jnp.where(v3, hit.normal, state.rays.direction * 0.0 +
+                             jnp.asarray([0.0, 0.0, 1.0], jnp.float32)),
+            uv=jnp.where(v1[..., None], hit.uv, 0.0),
+            t=jnp.where(v1, hit.t, 1.0),
+        )
+
         # per-bounce scatter uniforms, keyed (seed, bounce stream, ray id)
         u1, u2 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ray_ids)
         u3, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_ids)

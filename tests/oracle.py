@@ -48,8 +48,9 @@ def _unit_ball(u1, u2, u3):
 
 
 def _equirect_uv(v):
+    # latitude via arctan2 (scale-invariant), matching core.math.equirect_uv
     u = 0.5 - np.arctan2(v[2], v[0]) / (2 * np.pi)
-    w = np.arcsin(np.clip(v[1], -1, 1)) / np.pi + 0.5
+    w = np.arctan2(v[1], np.sqrt(v[0] * v[0] + v[2] * v[2] + 1e-12)) / np.pi + 0.5
     return np.array([u, w])
 
 

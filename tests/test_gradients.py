@@ -1,0 +1,174 @@
+"""Pixel-gradient validation against finite differences (BASELINE north star).
+
+The render is a deterministic function of scene parameters for a fixed
+seed, so central finite differences are exact up to O(eps^2) wherever the
+function is smooth in the parameter:
+
+- albedo / emission / texels / background enter the radiance polynomially
+  -> tight agreement required;
+- metal fuzziness moves scattered rays (reparameterized sampling)
+  -> smooth between visibility events; moderate tolerance;
+- dielectric IOR flows through Schlick + refraction direction with the
+  Bernoulli branch detached -> FD agreement holds when no sample's branch
+  flips inside the FD stencil (checked with a tiny eps).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from potato_tpu.diff import make_render_loss, optimize_textures
+from potato_tpu.scene import examples
+
+
+def _fd_check(scene_builder, field, rel_tol, eps, *, index=None, spp=2,
+              size=12, max_bounce=3, seed=11, accel="brute"):
+    scene = scene_builder.build(accel=accel)
+    total = size * size * spp
+    ray_ids = jnp.arange(total, dtype=jnp.uint32)
+    target = jnp.zeros((size * size, 3), jnp.float32)  # loss = mean(color^2)
+
+    loss = make_render_loss(scene, width=size, height=size, spp=spp,
+                            max_bounce=max_bounce, seed=seed, fields=(field,))
+    base = jnp.asarray(getattr(scene.tables, field))
+
+    f = jax.jit(lambda p: loss({field: p}, ray_ids, target))
+    g = np.asarray(jax.jit(jax.grad(lambda p: loss({field: p}, ray_ids, target)))(base))
+
+    if index is None:
+        flat = np.abs(g).ravel()
+        index = np.unravel_index(int(flat.argmax()), g.shape)
+    basis = np.zeros_like(np.asarray(base))
+    basis[index] = 1.0
+    basis = jnp.asarray(basis)
+
+    f_plus = float(f(base + eps * basis))
+    f_minus = float(f(base - eps * basis))
+    fd = (f_plus - f_minus) / (2 * eps)
+    ad = float(g[index])
+    assert np.isfinite(ad)
+    denom = max(abs(fd), abs(ad), 1e-8)
+    assert abs(fd - ad) / denom < rel_tol, (
+        f"{field}[{index}]: AD {ad:.6g} vs FD {fd:.6g}")
+    return ad
+
+
+def test_albedo_gradient_matches_fd():
+    ad = _fd_check(examples.three_balls(), "m_absorb_color", 5e-3, 1e-2)
+    assert abs(ad) > 1e-6
+
+
+def test_solid_texture_gradient_matches_fd():
+    ad = _fd_check(examples.three_balls(), "t_color", 5e-3, 1e-2)
+    assert abs(ad) > 1e-6
+
+
+def test_emission_gradient_matches_fd():
+    s = examples.three_balls()
+    # make one material emissive so the emit table matters
+    from potato_tpu.scene.description import Emit
+    import dataclasses
+    s.materials[1] = dataclasses.replace(s.materials[1], emit=Emit.color_(0.5, 0.2, 0.1))
+    ad = _fd_check(s, "m_emit_color", 5e-3, 1e-2)
+    assert abs(ad) > 1e-6
+
+
+def test_background_gradient_matches_fd():
+    from potato_tpu.scene.description import Emit
+    s = examples.three_balls()
+    s.background = Emit.color_(0.9, 0.8, 1.0)
+    ad = _fd_check(s, "bg_color", 5e-3, 1e-2)
+    assert abs(ad) > 1e-6
+
+
+def test_atlas_texel_gradient_matches_fd():
+    ad = _fd_check(examples.earth(), "atlas", 2e-3, 1e-2, size=10)
+    assert abs(ad) > 1e-6
+
+
+def test_fuzz_gradient_matches_fd():
+    """Metal fuzziness via reparameterized sampling.
+
+    Fixed-seed FD measures the derivative of the realized (branch-fixed)
+    estimator — exactly what reparameterized AD computes — but only where
+    no discontinuity (backface cull, visibility change) sits inside the FD
+    stencil, and only when the loss signal clears f32 rounding. So: narrow
+    fov onto the sphere center (no silhouette lanes, scattered rays end in
+    the smooth sky gradient) and a moderate eps.
+    """
+    from potato_tpu.scene.description import Absorb, Camera, Emit, Material, Scatter, SceneBuilder
+    s = SceneBuilder()
+    s.camera = Camera(fov=0.3, position=(0.0, 0.0, 0.0), target=(0.0, 0.0, -2.0))
+    m0 = s.add_material(Material(Scatter.metal(0.3), Absorb.albedo(0.9, 0.9, 0.9), Emit.none()))
+    s.add_sphere((0.0, 0.0, -2.0), 1.0, m0)
+    ad = _fd_check(s, "m_scatter_param", 3e-2, 3e-3, index=(0,), spp=4,
+                   max_bounce=2)
+    assert abs(ad) > 1e-5
+
+
+def test_ior_gradient_matches_fd():
+    """Dielectric IOR: gradients flow through Schlick and the refracted
+    direction; the Bernoulli branch is detached — which is exactly what a
+    fixed-seed FD measures *between* branch flips. The loss is piecewise
+    smooth with flip points spaced ~1e-2 apart in IOR, so a single FD
+    stencil can straddle one; instead compare AD vs tiny-eps FD at several
+    base points and require the median relative error to be small (the
+    median is immune to the minority of stencils that catch a flip)."""
+    import jax
+
+    from potato_tpu.scene.description import Absorb, Camera, Emit, Material, Scatter, SceneBuilder
+    s = SceneBuilder()
+    s.camera = Camera(fov=0.4, position=(0.0, 0.0, 0.0), target=(0.0, 0.0, -2.0))
+    m0 = s.add_material(Material(Scatter.dielectric(1.5), Absorb.albedo(0.8, 0.9, 1.0), Emit.none()))
+    s.add_sphere((0.0, 0.0, -2.0), 0.9, m0)
+    scene = s.build(accel="brute")
+    size, spp = 12, 2
+    total = size * size * spp
+    ray_ids = jnp.arange(total, dtype=jnp.uint32)
+    target = jnp.zeros((size * size, 3), jnp.float32)
+    loss = make_render_loss(scene, width=size, height=size, spp=spp,
+                            max_bounce=4, seed=11, fields=("m_scatter_param",))
+    f = jax.jit(lambda p: loss({"m_scatter_param": p[None]}, ray_ids, target))
+    g = jax.jit(jax.grad(lambda p: loss({"m_scatter_param": p[None]}, ray_ids, target)))
+
+    eps = 2e-4
+    rel_errs = []
+    for base in (1.4931, 1.4967, 1.5005, 1.5041, 1.5083):
+        b = jnp.float32(base)
+        fd = (float(f(b + eps)) - float(f(b - eps))) / (2 * eps)
+        ad = float(g(b))
+        assert np.isfinite(ad)
+        assert abs(ad) > 1e-4
+        rel_errs.append(abs(fd - ad) / max(abs(fd), abs(ad), 1e-8))
+    assert np.median(rel_errs) < 0.15, rel_errs
+
+
+def test_texture_optimization_recovers_texels():
+    """Config 5 miniature: start from a wrong atlas, descend to the target
+    render, verify loss drops by >10x and checkpoint/resume works."""
+    import os
+    import tempfile
+
+    from potato_tpu.render.renderer import render
+
+    scene = examples.earth().build(accel="brute")
+    size = 10
+    target = render(scene, size, size, spp=2, max_bounce=3, seed=5).color
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "opt.npz")
+        res1 = optimize_textures(
+            scene, target, width=size, height=size, spp=2, max_bounce=3,
+            seed=5, steps=8, learning_rate=0.1,
+            checkpoint_path=ckpt, checkpoint_every=4, log_every=0,
+            init={"atlas": np.full_like(np.asarray(scene.tables.atlas), 0.3)})
+        assert os.path.exists(ckpt)
+        # resume continues from the checkpoint, not from scratch
+        res2 = optimize_textures(
+            scene, target, width=size, height=size, spp=2, max_bounce=3,
+            seed=5, steps=16, learning_rate=0.1,
+            checkpoint_path=ckpt, checkpoint_every=4, log_every=0)
+        assert res2.losses[0] == pytest.approx(res1.losses[0])
+        assert len(res2.losses) >= 16
+        assert min(res2.losses) < res1.losses[0] / 8
