@@ -43,8 +43,13 @@ class RenderOutput:
 
 def make_intersect_fn(scene: CompiledScene):
     """Pick the acceleration entry point compiled into the render fn."""
-    if scene.accel is not None:
-        accel = scene.accel
+    from potato_tpu.ops.dense import DenseAccel, intersect_dense
+    from potato_tpu.scene.bvh import ClusterAccel
+
+    accel = scene.accel
+    if isinstance(accel, DenseAccel):
+        return lambda tables, rays: intersect_dense(accel, tables, rays)
+    if isinstance(accel, ClusterAccel):
         return lambda tables, rays: intersect_clustered(accel, rays)
     return intersect_brute_force
 

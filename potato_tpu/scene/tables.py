@@ -209,9 +209,18 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
         position=jnp.asarray(cam.position, jnp.float32),
     )
 
-    total_prims = ns + ntr
+    # Acceleration choice:
+    # - "dense" (default): MXU matmul brute force — fastest below ~10^4
+    #   primitives on TPU (ops/dense.py rationale)
+    # - "cluster": Morton-cluster two-level BVH with per-lane traversal —
+    #   for large scenes where dense FLOPs stop winning
+    # - "brute": plain VPU brute force, the List-semantics oracle
     accel_struct = None
-    if accel == "cluster" or (accel == "auto" and total_prims > 64):
+    if accel in ("dense", "auto"):
+        from potato_tpu.ops.dense import build_dense_accel
+
+        accel_struct = build_dense_accel(tables, ns, ntr)
+    elif accel == "cluster":
         from potato_tpu.scene.bvh import build_cluster_accel
 
         accel_struct = build_cluster_accel(
