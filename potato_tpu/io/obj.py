@@ -56,12 +56,24 @@ def _parse_index(token: str):
     return (v, vt, vn)
 
 
-def load(path_or_text) -> MeshData:
+def load(path_or_text, use_native: bool = True) -> MeshData:
     if isinstance(path_or_text, str) and "\n" not in path_or_text:
         with open(path_or_text, "r") as f:
             text = f.read()
     else:
         text = path_or_text
+
+    if use_native:
+        from potato_tpu.io import native
+
+        try:
+            parsed = native.obj_parse(text)
+        except ValueError as e:
+            raise ObjError(str(e)) from e
+        if parsed is not None:
+            positions, normals, uvs, indices = parsed
+            return MeshData(positions=positions, normals=normals, uvs=uvs,
+                            indices=indices)
 
     positions, normals, uvs = [], [], []
     face_corners = []  # list of lists of (v, vt, vn)

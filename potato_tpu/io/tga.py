@@ -25,13 +25,20 @@ class TgaError(ValueError):
     pass
 
 
-def load(path_or_bytes) -> np.ndarray:
+def load(path_or_bytes, use_native: bool = True) -> np.ndarray:
     """Load a TGA file -> (H, W, 4) uint8 RGBA."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
+
+    if use_native:
+        from potato_tpu.io import native
+
+        img = native.tga_decode(data)
+        if img is not None:
+            return img
 
     if len(data) < _HEADER.size:
         raise TgaError("truncated TGA header")
