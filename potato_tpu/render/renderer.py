@@ -44,9 +44,15 @@ class RenderOutput:
 def make_intersect_fn(scene: CompiledScene):
     """Pick the acceleration entry point compiled into the render fn."""
     from potato_tpu.ops.dense import DenseAccel, intersect_dense
+    from potato_tpu.ops.pallas_intersect import PallasAccel, intersect_pallas
     from potato_tpu.scene.bvh import ClusterAccel
 
     accel = scene.accel
+    if isinstance(accel, PallasAccel):
+        # interpret mode on CPU (tests); compiled Mosaic on TPU
+        interp = jax.default_backend() != "tpu"
+        return lambda tables, rays: intersect_pallas(accel, tables, rays,
+                                                     interpret=interp)
     if isinstance(accel, DenseAccel):
         return lambda tables, rays: intersect_dense(accel, tables, rays)
     if isinstance(accel, ClusterAccel):

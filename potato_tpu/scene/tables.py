@@ -216,7 +216,11 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     #   for large scenes where dense FLOPs stop winning
     # - "brute": plain VPU brute force, the List-semantics oracle
     accel_struct = None
-    if accel in ("dense", "auto"):
+    if accel in ("pallas", "auto"):
+        from potato_tpu.ops.pallas_intersect import build_pallas_accel
+
+        accel_struct = build_pallas_accel(tables, ns, ntr)
+    elif accel == "dense":
         from potato_tpu.ops.dense import build_dense_accel
 
         accel_struct = build_dense_accel(tables, ns, ntr)
