@@ -20,19 +20,23 @@ def main():
     from potato_tpu.render.renderer import render
     from potato_tpu.scene import examples
 
+    # persistent compile cache: first-ever run pays the (remote) compile,
+    # every later process reuses the serialized executable
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
     width, height, spp, max_bounce = 800, 600, 4, 8
     t0 = time.time()
-    scene = examples.bunny().build(accel="cluster", cluster_size=64)
+    scene = examples.bunny().build(accel="pallas")
     print(f"scene build: {time.time() - t0:.2f}s "
-          f"({scene.num_triangles} tris, {scene.num_spheres} spheres, "
-          f"{scene.accel.num_clusters} clusters)", file=sys.stderr)
+          f"({scene.num_triangles} tris, {scene.num_spheres} spheres)",
+          file=sys.stderr)
 
-    chunk = 1 << 19
+    chunk = 1 << 18
 
     # warmup / compile
     t0 = time.time()
     out = render(scene, width, height, spp=spp, max_bounce=max_bounce,
-                 seed=0, chunk_size=chunk)
+                 seed=0, chunk_size=chunk, with_aovs=False)
     print(f"warmup (compile + render): {time.time() - t0:.2f}s, "
           f"segments={out.segments}", file=sys.stderr)
 
@@ -41,7 +45,7 @@ def main():
     for rep in range(3):
         t0 = time.time()
         out = render(scene, width, height, spp=spp, max_bounce=max_bounce,
-                     seed=rep + 1, chunk_size=chunk)
+                     seed=rep + 1, chunk_size=chunk, with_aovs=False)
         dt = time.time() - t0
         rays_per_s = out.segments / dt
         print(f"rep {rep}: {dt * 1e3:.1f} ms, {out.segments} segments, "

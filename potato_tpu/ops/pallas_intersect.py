@@ -146,35 +146,36 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
     t_min = tmin_ref[:, 0:1]
     t_max = tmax_ref[:, 0:1]
 
-    # --- stage A: which clusters does ANY ray in this block enter? ---
-    # slab test of (R,) rays vs (C,) boxes, fully dense (R, C)
-    bxmin = bounds_ref[0:1, :]
-    bymin = bounds_ref[1:2, :]
-    bzmin = bounds_ref[2:3, :]
-    bxmax = bounds_ref[3:4, :]
-    bymax = bounds_ref[4:5, :]
-    bzmax = bounds_ref[5:6, :]
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
-    tx0 = (bxmin - ox) * inv_dx
-    tx1 = (bxmax - ox) * inv_dx
-    ty0 = (bymin - oy) * inv_dy
-    ty1 = (bymax - oy) * inv_dy
-    tz0 = (bzmin - oz) * inv_dz
-    tz1 = (bzmax - oz) * inv_dz
-    lo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                     jnp.minimum(tz0, tz1))
-    hi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                     jnp.maximum(tz0, tz1))
-    box_hit = (jnp.minimum(hi, t_max) >= jnp.maximum(lo, t_min))  # (R, C)
-    any_hit = jnp.any(box_hit, axis=0)                            # (C,)
 
     best0 = jnp.full((R, 1), BIG, jnp.float32)
     zero = jnp.zeros((R, 1), jnp.float32)
 
     def visit(ci, carry):
         best_t, best_u, best_v, best_slot = carry
+
+        # does ANY ray in the block enter cluster ci's AABB? (R,1) slab
+        # test against one dynamically-sliced box; scalar branch below
+        # skips the whole cluster's intersection work on a miss.
+        box = bounds_ref[0:6, pl.ds(ci, 1)]                       # (6, 1)
+        tx0 = (box[0:1, 0:1] - ox) * inv_dx
+        ty0 = (box[1:2, 0:1] - oy) * inv_dy
+        tz0 = (box[2:3, 0:1] - oz) * inv_dz
+        tx1 = (box[3:4, 0:1] - ox) * inv_dx
+        ty1 = (box[4:5, 0:1] - oy) * inv_dy
+        tz1 = (box[5:6, 0:1] - oz) * inv_dz
+        lo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        hi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1))
+        # shrink to the block's best-so-far: a cluster farther than every
+        # ray's current hit can be skipped too (front-to-back analogue)
+        entered = jnp.any((jnp.minimum(hi, jnp.minimum(t_max, best_t))
+                           >= jnp.maximum(lo, t_min)))
 
         def do_cluster(carry):
             best_t, best_u, best_v, best_slot = carry
@@ -213,17 +214,26 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
                      & (tu >= 0.0) & (tv >= 0.0) & (tu + tv <= 1.0))
             key = jnp.where(valid, tt, BIG)
 
-            k_best = jnp.argmin(key, axis=1)[:, None]            # (R, 1)
-            cand_t = jnp.take_along_axis(key, k_best, axis=1)
+            # branchless per-row winner extraction — Mosaic has no per-lane
+            # gather, so select via a unique min-mask + sum-reductions
+            cand_t = jnp.min(key, axis=1, keepdims=True)          # (R, 1)
+            lane = jax.lax.broadcasted_iota(jnp.float32, key.shape, 1)
+            at_min = key == cand_t
+            win_lane = jnp.min(jnp.where(at_min, lane, jnp.float32(1e9)),
+                               axis=1, keepdims=True)
+            mask = at_min & (lane == win_lane)                    # unique
+            cand_u = jnp.sum(jnp.where(mask, tu, 0.0), axis=1, keepdims=True)
+            cand_v = jnp.sum(jnp.where(mask, tv, 0.0), axis=1, keepdims=True)
+
             improve = cand_t < best_t
             best_t = jnp.where(improve, cand_t, best_t)
-            best_u = jnp.where(improve, jnp.take_along_axis(tu, k_best, axis=1), best_u)
-            best_v = jnp.where(improve, jnp.take_along_axis(tv, k_best, axis=1), best_v)
-            slot = (ci * K + k_best).astype(jnp.float32)
+            best_u = jnp.where(improve, cand_u, best_u)
+            best_v = jnp.where(improve, cand_v, best_v)
+            slot = (ci * K).astype(jnp.float32) + win_lane
             best_slot = jnp.where(improve, slot, best_slot)
             return best_t, best_u, best_v, best_slot
 
-        return jax.lax.cond(any_hit[ci], do_cluster, lambda c: c,
+        return jax.lax.cond(entered, do_cluster, lambda c: c,
                             (best_t, best_u, best_v, best_slot))
 
     best_t, best_u, best_v, best_slot = jax.lax.fori_loop(
@@ -275,11 +285,14 @@ def _sph_kernel(o_ref, d_ref, tmin_ref, tmax_ref, feats_ref, out_ref, *,
         valid = sph_ok & (t0_ok | t1_ok)
         key = jnp.where(valid, st, BIG)
 
-        k_best = jnp.argmin(key, axis=1)[:, None]
-        cand = jnp.take_along_axis(key, k_best, axis=1)
+        cand = jnp.min(key, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.float32, key.shape, 1)
+        at_min = key == cand
+        win_lane = jnp.min(jnp.where(at_min, lane, jnp.float32(1e9)),
+                           axis=1, keepdims=True)
         improve = cand < best_t
         best_t = jnp.where(improve, cand, best_t)
-        best_idx = jnp.where(improve, (si * tile + k_best).astype(jnp.float32),
+        best_idx = jnp.where(improve, (si * tile).astype(jnp.float32) + win_lane,
                              best_idx)
         return best_t, best_idx
 

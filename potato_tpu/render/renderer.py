@@ -70,9 +70,15 @@ def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
 def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
            max_bounce: int = 8, seed: int = 0,
            chunk_size: Optional[int] = None,
-           progress: bool = False) -> RenderOutput:
+           progress: bool = False,
+           with_aovs: bool = True) -> RenderOutput:
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
-    src/main.rs:13-32)."""
+    src/main.rs:13-32).
+
+    with_aovs=False skips fetching the normal/coverage AOVs to the host —
+    on a remote-tunneled chip those device->host copies are a measurable
+    slice of frame time (the AOVs are still computed on device).
+    """
     total = width * height * spp
     if chunk_size is None:
         chunk_size = min(total, 1 << 18)
@@ -84,30 +90,37 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
         render_chunk, intersect_fn=intersect_fn, width=width, height=height,
         spp=spp, max_bounce=max_bounce, seed=seed))
 
-    colors, normals, hits = [], [], []
-    segments = 0
+    colors, normals, hits, seg_parts = [], [], [], []
     for c in range(num_chunks):
         start = c * chunk_size
         # fixed chunk shape: the tail chunk wraps around (duplicate work on
         # <1 chunk of rays, zero recompilation)
         ids = (jnp.arange(chunk_size, dtype=jnp.uint32) + start) % total
         out = traced(scene.tables, scene.camera, ray_ids=ids)
-        colors.append(np.asarray(out.color))
-        normals.append(np.asarray(out.aov_normal))
-        hits.append(np.asarray(out.aov_hit))
-        segments += int(out.segments)
+        # keep chunk outputs on device; fetch everything once at the end so
+        # host transfers overlap nothing and happen in few large copies
+        colors.append(out.color)
+        seg_parts.append(out.segments)
+        if with_aovs:
+            normals.append(out.aov_normal)
+            hits.append(out.aov_hit)
         if progress:
             print(f"\rchunk {c + 1}/{num_chunks}", end="", flush=True)
     if progress:
         print()
 
-    color = np.concatenate(colors)[:total]
-    normal = np.concatenate(normals)[:total]
-    hit = np.concatenate(hits)[:total]
+    color = np.asarray(jnp.concatenate(colors))[:total]
+    segments = int(np.sum(np.asarray(jnp.stack(seg_parts))))
 
     # spp average (reference main.rs:88-90)
     color = color.reshape(height, width, spp, 3).mean(axis=2)
-    normal = normal.reshape(height, width, spp, 3).mean(axis=2)
-    coverage = hit.reshape(height, width, spp).mean(axis=2).astype(np.float32)
+    if with_aovs:
+        normal = np.asarray(jnp.concatenate(normals))[:total]
+        hit = np.asarray(jnp.concatenate(hits))[:total]
+        normal = normal.reshape(height, width, spp, 3).mean(axis=2)
+        coverage = hit.reshape(height, width, spp).mean(axis=2).astype(np.float32)
+    else:
+        normal = np.zeros_like(color)
+        coverage = np.zeros(color.shape[:2], np.float32)
     return RenderOutput(color=color, normal=normal, coverage=coverage,
                         segments=segments)
