@@ -217,9 +217,9 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
             # branchless per-row winner extraction — Mosaic has no per-lane
             # gather, so select via a unique min-mask + sum-reductions
             cand_t = jnp.min(key, axis=1, keepdims=True)          # (R, 1)
-            lane = jax.lax.broadcasted_iota(jnp.float32, key.shape, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
             at_min = key == cand_t
-            win_lane = jnp.min(jnp.where(at_min, lane, jnp.float32(1e9)),
+            win_lane = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
                                axis=1, keepdims=True)
             mask = at_min & (lane == win_lane)                    # unique
             cand_u = jnp.sum(jnp.where(mask, tu, 0.0), axis=1, keepdims=True)
@@ -229,7 +229,7 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
             best_t = jnp.where(improve, cand_t, best_t)
             best_u = jnp.where(improve, cand_u, best_u)
             best_v = jnp.where(improve, cand_v, best_v)
-            slot = (ci * K).astype(jnp.float32) + win_lane
+            slot = (ci * K + win_lane).astype(jnp.float32)
             best_slot = jnp.where(improve, slot, best_slot)
             return best_t, best_u, best_v, best_slot
 
@@ -286,13 +286,13 @@ def _sph_kernel(o_ref, d_ref, tmin_ref, tmax_ref, feats_ref, out_ref, *,
         key = jnp.where(valid, st, BIG)
 
         cand = jnp.min(key, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.float32, key.shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
         at_min = key == cand
-        win_lane = jnp.min(jnp.where(at_min, lane, jnp.float32(1e9)),
+        win_lane = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
                            axis=1, keepdims=True)
         improve = cand < best_t
         best_t = jnp.where(improve, cand, best_t)
-        best_idx = jnp.where(improve, (si * tile).astype(jnp.float32) + win_lane,
+        best_idx = jnp.where(improve, (si * tile + win_lane).astype(jnp.float32),
                              best_idx)
         return best_t, best_idx
 
