@@ -99,9 +99,12 @@ def build_pallas_accel(tables, num_spheres: int, num_triangles: int,
         cmin = np.full((C, 3), np.inf)
         cmax = np.full((C, 3), -np.inf)
 
-    bounds = np.zeros((8, C), np.float32)
-    bounds[0:3] = np.nan_to_num(cmin.T, posinf=3e38, neginf=-3e38)
-    bounds[3:6] = np.nan_to_num(cmax.T, posinf=3e38, neginf=-3e38)
+    # (C, 8) scalar rows consumed from SMEM: min xyz, max xyz, pad — scalar
+    # loads broadcast against the ray block, so no lane-aligned dynamic
+    # vector load is needed per cluster
+    bounds = np.zeros((C, 8), np.float32)
+    bounds[:, 0:3] = np.nan_to_num(cmin, posinf=3e38, neginf=-3e38)
+    bounds[:, 3:6] = np.nan_to_num(cmax, posinf=3e38, neginf=-3e38)
 
     c = np.asarray(tables.s_center, np.float64)[:num_spheres] if num_spheres else np.zeros((0, 3))
     r = np.asarray(tables.s_radius, np.float64)[:num_spheres] if num_spheres else np.zeros((0,))
@@ -156,16 +159,15 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
     def visit(ci, carry):
         best_t, best_u, best_v, best_slot = carry
 
-        # does ANY ray in the block enter cluster ci's AABB? (R,1) slab
-        # test against one dynamically-sliced box; scalar branch below
-        # skips the whole cluster's intersection work on a miss.
-        box = bounds_ref[0:6, pl.ds(ci, 1)]                       # (6, 1)
-        tx0 = (box[0:1, 0:1] - ox) * inv_dx
-        ty0 = (box[1:2, 0:1] - oy) * inv_dy
-        tz0 = (box[2:3, 0:1] - oz) * inv_dz
-        tx1 = (box[3:4, 0:1] - ox) * inv_dx
-        ty1 = (box[4:5, 0:1] - oy) * inv_dy
-        tz1 = (box[5:6, 0:1] - oz) * inv_dz
+        # does ANY ray in the block enter cluster ci's AABB? slab test of
+        # the ray block against one box read as SMEM scalars; the scalar
+        # branch below skips the whole cluster's intersection work on miss.
+        tx0 = (bounds_ref[ci, 0] - ox) * inv_dx
+        ty0 = (bounds_ref[ci, 1] - oy) * inv_dy
+        tz0 = (bounds_ref[ci, 2] - oz) * inv_dz
+        tx1 = (bounds_ref[ci, 3] - ox) * inv_dx
+        ty1 = (bounds_ref[ci, 4] - oy) * inv_dy
+        tz1 = (bounds_ref[ci, 5] - oz) * inv_dz
         lo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                      jnp.minimum(ty0, ty1)),
                          jnp.minimum(tz0, tz1))
@@ -179,7 +181,7 @@ def _tri_kernel(o_ref, d_ref, m_ref, tmin_ref, tmax_ref, feats_ref,
 
         def do_cluster(carry):
             best_t, best_u, best_v, best_slot = carry
-            sl = pl.ds(ci * K, K)
+            sl = pl.ds(pl.multiple_of(ci * K, 128), K)
             nx = feats_ref[0:1, sl]
             ny = feats_ref[1:2, sl]
             nz = feats_ref[2:3, sl]
@@ -265,7 +267,7 @@ def _sph_kernel(o_ref, d_ref, tmin_ref, tmax_ref, feats_ref, out_ref, *,
 
     def visit(si, carry):
         best_t, best_idx = carry
-        sl = pl.ds(si * tile, tile)
+        sl = pl.ds(pl.multiple_of(si * tile, 128), tile)
         cx = feats_ref[0:1, sl]
         cy = feats_ref[1:2, sl]
         cz = feats_ref[2:3, sl]
@@ -343,12 +345,13 @@ def intersect_pallas(accel: PallasAccel, tables, rays: RayBatch,
 
     Tp = accel.tri_feats.shape[1]
     num_clusters = Tp // accel.cluster_size
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     tri_out = pl.pallas_call(
         partial(_tri_kernel, num_clusters=num_clusters,
                 cluster_size=accel.cluster_size),
         grid=grid,
         in_specs=[ray_spec, ray_spec, ray_spec, scalar_spec, scalar_spec,
-                  table_spec, table_spec],
+                  table_spec, smem_spec],
         out_specs=pl.BlockSpec((RAY_BLOCK, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, 4), jnp.float32),
