@@ -132,12 +132,15 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         # the origin: without this, the BIG-t miss position (~3e38) overflows
         # to inf/NaN in the next bounce's quadratics, and NaN survives the
         # contribution mask (NaN * 0 = NaN).
+        # Retired lanes are marked dead via t_max = -1 < t_min: the grouped
+        # intersectors' per-block cluster culling then skips them entirely
+        # (a block of only dead lanes does no primitive work).
         zb_ = state.rays.t_min * 0.0  # varying-typed zeros (see init note)
         next_rays = RayBatch(
             origin=jnp.where(active[..., None], hit.position, 0.0),
             direction=mat.scatter.direction,
             t_min=zb_ + RAY_EPSILON,
-            t_max=zb_ + BIG,
+            t_max=jnp.where(active, zb_ + BIG, zb_ - 1.0),
         )
         segments = state.segments + jnp.sum(state.active.astype(jnp.int32))
         return State(next_rays, radiance, throughput, active,

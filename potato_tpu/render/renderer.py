@@ -44,13 +44,17 @@ class RenderOutput:
 def make_intersect_fn(scene: CompiledScene):
     """Pick the acceleration entry point compiled into the render fn."""
     from potato_tpu.ops.dense import DenseAccel, intersect_dense
+    from potato_tpu.ops.grouped import GroupedAccel, intersect_grouped
     from potato_tpu.ops.pallas_intersect import PallasAccel, intersect_pallas
     from potato_tpu.scene.bvh import ClusterAccel
 
     accel = scene.accel
+    # interpret mode on CPU (tests); compiled Mosaic on TPU
+    interp = jax.default_backend() != "tpu"
+    if isinstance(accel, GroupedAccel):
+        return lambda tables, rays: intersect_grouped(accel, tables, rays,
+                                                      interpret=interp)
     if isinstance(accel, PallasAccel):
-        # interpret mode on CPU (tests); compiled Mosaic on TPU
-        interp = jax.default_backend() != "tpu"
         return lambda tables, rays: intersect_pallas(accel, tables, rays,
                                                      interpret=interp)
     if isinstance(accel, DenseAccel):
@@ -60,11 +64,78 @@ def make_intersect_fn(scene: CompiledScene):
     return intersect_brute_force
 
 
+def coherent_intersect(intersect_fn, world_min, world_max):
+    """Wrap an intersector with live-first, spatially-coherent ray ordering.
+
+    The grouped kernels cull clusters per 64-ray *group*, so a group's cost
+    is the union of its lanes' cluster lists. Sorting rays by (retired,
+    origin Morton cell, direction octant) packs similar rays into the same
+    groups: dead lanes collapse into groups that visit nothing, and
+    coherent lanes share cluster visits. Origin locality leads the key —
+    after a bounce it is the hit position, not the direction, that decides
+    which clusters a ray can enter. Per-ray hits are order-independent, so
+    the image is bit-identical with or without this wrapper.
+    """
+    extent = jnp.maximum(world_max - world_min, 1e-9)
+
+    def wrapped(tables, rays):
+        live = rays.t_max >= rays.t_min
+        d = rays.direction
+        octant = ((d[..., 0] < 0).astype(jnp.int32)
+                  + 2 * (d[..., 1] < 0).astype(jnp.int32)
+                  + 4 * (d[..., 2] < 0).astype(jnp.int32))
+        q = jnp.clip((rays.origin - world_min) / extent * 64.0,
+                     0.0, 63.0).astype(jnp.int32)
+
+        def spread(x):  # 6-bit Morton interleave (scene/bvh.py, 6-bit form)
+            x = (x | (x << 10)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        cell = ((spread(q[..., 0]) << 2) | (spread(q[..., 1]) << 1)
+                | spread(q[..., 2]))
+        key = jnp.where(live, (cell << 3) | octant, jnp.int32(1 << 30))
+        perm = jnp.argsort(key, stable=True)
+        sorted_rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
+        hit = intersect_fn(tables, sorted_rays)
+        inv = jnp.argsort(perm)
+        return jax.tree_util.tree_map(lambda a: a[inv], hit)
+
+    return wrapped
+
+
 def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  spp, max_bounce, seed) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
     rays = generate_rays(camera, width, height, spp, ray_ids, seed)
     return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed)
+
+
+def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
+                    max_bounce: int, chunk_size: int, sort_rays: bool):
+    """One jitted function rendering ALL chunks of a frame in one dispatch.
+
+    `seed` and the chunk start offsets are dynamic arguments, so reseeding
+    or re-rendering never retraces or recompiles; `lax.map` serializes the
+    chunks on device (bounded memory, zero per-chunk dispatch latency)."""
+    intersect_fn = make_intersect_fn(scene)
+    if sort_rays:
+        intersect_fn = coherent_intersect(intersect_fn, scene.accel.world_min,
+                                          scene.accel.world_max)
+    total = width * height * spp
+
+    def frame(tables, camera, seed, starts):
+        def one_chunk(start):
+            ids = (jax.lax.iota(jnp.uint32, chunk_size) + start) % jnp.uint32(total)
+            return render_chunk(tables, camera, ids,
+                                intersect_fn=intersect_fn, width=width,
+                                height=height, spp=spp,
+                                max_bounce=max_bounce, seed=seed)
+
+        return jax.lax.map(one_chunk, starts)
+
+    return jax.jit(frame)
 
 
 def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
@@ -75,9 +146,7 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
     src/main.rs:13-32).
 
-    with_aovs=False skips fetching the normal/coverage AOVs to the host —
-    on a remote-tunneled chip those device->host copies are a measurable
-    slice of frame time (the AOVs are still computed on device).
+    with_aovs controls only which buffers are fetched to the host.
     """
     total = width * height * spp
     if chunk_size is None:
@@ -85,38 +154,33 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
 
-    intersect_fn = make_intersect_fn(scene)
-    traced = jax.jit(partial(
-        render_chunk, intersect_fn=intersect_fn, width=width, height=height,
-        spp=spp, max_bounce=max_bounce, seed=seed))
+    # Ray sorting (coherent_intersect) is off by default: profiling on v5e
+    # shows the ~21 permute-gathers per bounce (~0.3 ms each at the TPU's
+    # ~1 elem/cycle gather rate) cost more than the cluster-list sharing
+    # they buy. The per-ray cluster selection already adapts to incoherent
+    # rays, and camera order itself is pixel-coherent.
+    sort_rays = False
+    key = (width, height, spp, max_bounce, chunk_size, sort_rays)
+    frame_fn = scene.fn_cache.get(key)
+    if frame_fn is None:
+        frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
+                                   chunk_size, sort_rays)
+        scene.fn_cache[key] = frame_fn
 
-    colors, normals, hits, seg_parts = [], [], [], []
-    for c in range(num_chunks):
-        start = c * chunk_size
-        # fixed chunk shape: the tail chunk wraps around (duplicate work on
-        # <1 chunk of rays, zero recompilation)
-        ids = (jnp.arange(chunk_size, dtype=jnp.uint32) + start) % total
-        out = traced(scene.tables, scene.camera, ray_ids=ids)
-        # keep chunk outputs on device; fetch everything once at the end so
-        # host transfers overlap nothing and happen in few large copies
-        colors.append(out.color)
-        seg_parts.append(out.segments)
-        if with_aovs:
-            normals.append(out.aov_normal)
-            hits.append(out.aov_hit)
-        if progress:
-            print(f"\rchunk {c + 1}/{num_chunks}", end="", flush=True)
-    if progress:
-        print()
+    # fixed chunk shape: the tail chunk wraps around (duplicate work on
+    # <1 chunk of rays, zero recompilation)
+    starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
+    out = frame_fn(scene.tables, scene.camera,
+                   jnp.asarray(seed, jnp.uint32), starts)
 
-    color = np.asarray(jnp.concatenate(colors))[:total]
-    segments = int(np.sum(np.asarray(jnp.stack(seg_parts))))
+    color = np.asarray(out.color.reshape(-1, 3))[:total]
+    segments = int(np.asarray(jnp.sum(out.segments)))
 
     # spp average (reference main.rs:88-90)
     color = color.reshape(height, width, spp, 3).mean(axis=2)
     if with_aovs:
-        normal = np.asarray(jnp.concatenate(normals))[:total]
-        hit = np.asarray(jnp.concatenate(hits))[:total]
+        normal = np.asarray(out.aov_normal.reshape(-1, 3))[:total]
+        hit = np.asarray(out.aov_hit.reshape(-1))[:total]
         normal = normal.reshape(height, width, spp, 3).mean(axis=2)
         coverage = hit.reshape(height, width, spp).mean(axis=2).astype(np.float32)
     else:

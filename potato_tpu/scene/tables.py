@@ -19,7 +19,7 @@ that can be donated, replicated across a device mesh, or differentiated.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
@@ -91,6 +91,9 @@ class CompiledScene:
     accel: Optional[object]  # ClusterAccel | None
     num_spheres: int
     num_triangles: int
+    # compiled-frame cache: (w, h, spp, bounce, chunk, sort) -> jitted fn,
+    # so repeated renders of the same shape never retrace (renderer.py)
+    fn_cache: dict = field(default_factory=dict)
 
 
 def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
@@ -216,7 +219,11 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     #   for large scenes where dense FLOPs stop winning
     # - "brute": plain VPU brute force, the List-semantics oracle
     accel_struct = None
-    if accel in ("pallas", "auto"):
+    if accel in ("pallas", "auto", "grouped"):
+        from potato_tpu.ops.grouped import build_grouped_accel
+
+        accel_struct = build_grouped_accel(tables, ns, ntr)
+    elif accel == "pallas_flat":
         from potato_tpu.ops.pallas_intersect import build_pallas_accel
 
         accel_struct = build_pallas_accel(tables, ns, ntr)
