@@ -1,4 +1,4 @@
-"""Grouped-traversal intersector: XLA cluster selection + Pallas pair kernels.
+"""Grouped wavefront intersector: XLA builds visit queues, Pallas executes.
 
 The TPU-shaped replacement for the reference's per-ray recursive BVH walk
 (src/bvh.rs:93-119). Pointer-chasing traversal is hostile to a vector
@@ -11,17 +11,21 @@ good at it:
    grouped 64-wide and each group reduces to a front-to-back list of
    clusters any of its rays enters. This *is* the traversal — computed for
    all rays at once with zero divergence, instead of per-ray node visits.
-2. **Pair testing (Pallas)** — a kernel walks each group's cluster list
-   (dynamic `fori`/`while` trip count — skipped clusters cost nothing) and
-   intersects the group's 64 rays against the cluster's 128 primitives as
-   one (64, 128) VPU tile, keeping the per-ray closest hit in registers.
-   The walk stops early once every ray's best hit is closer than the next
+   The per-group lists are then compacted into one **visit queue** per
+   1024-ray grid step: (group, cluster) codes + entry distances.
+2. **Pair testing (one Pallas kernel)** — per grid step the kernel drains
+   the step's triangle and sphere queues (dynamic `while` trip count —
+   absent visits cost nothing), intersecting each visit's 64 rays against
+   the cluster's 128 primitives as one (64, 128) VPU tile and
+   read-modify-writing the per-ray closest hit in the output block. A
+   visit is skipped once every ray in its group has a hit closer than the
    cluster's entry t — the reference's t_max-shrinking ordered descent
    (src/bvh.rs:106-112) at group granularity.
 
-Ray coherence (live-first + origin-Morton + direction-octant sorting,
-render/renderer.py) keeps each group's cluster-list union close to a single
-ray's list, and packs retired lanes into groups whose list is empty.
+Everything per-call is fused into few large ops by design: one packed ray
+operand, one kernel launch, one packed shade-table gather per primitive
+type (profiling on v5e showed per-op overhead and gathers dominating a
+many-op formulation).
 
 The pair tests replicate ops/intersect.py's math bit-for-bit (same SMOL
 cutoff, same root selection) and are property-tested against brute force in
@@ -30,7 +34,6 @@ tests/test_grouped.py (interpret mode on CPU, compiled Mosaic on TPU).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -46,6 +49,8 @@ GROUP = 64            # rays per culling group (sublane-dim multiple of 8)
 GROUPS_PER_STEP = 16  # groups per grid step (amortizes per-step overhead)
 BLOCK = GROUP * GROUPS_PER_STEP
 K = 128               # primitives per cluster (one lane tile)
+RAY_COLS = 16         # o(3) d(3) m(3) tmin tmax pad(5)
+OUT_COLS = 8          # tri: t u v slot | sph: t slot | pad(2)
 TRI_FEATURES = 16     # n(3) a_x_ca(3) ca(3) ba_x_a(3) ba(3) a.n(1)
 SPH_FEATURES = 8      # c(3) |c|^2-r^2(1) valid(1)
 
@@ -192,62 +197,119 @@ def select_clusters(rays: RayBatch, cmin, cmax):
     return counts[:, None], ids, entry_sorted
 
 
-# ------------------------------------------------------------------ kernels
+def build_visit_queue(rays: RayBatch, cmin, cmax):
+    """Compact per-group cluster lists into one visit queue per grid step.
+
+    Returns (counts (S,1) i32, codes (S,L) i32, entry (S,L) f32) with
+    L = GROUPS_PER_STEP * C. codes[s, :counts[s]] are group-major,
+    front-to-back visits encoded as (group_local << 16) | cluster_id; the
+    tail is padding. The kernel drains exactly counts[s] visits per step,
+    so empty groups (retired rays, culled space) cost nothing.
+    """
+    counts, ids, entry = select_clusters(rays, cmin, cmax)
+    g = counts.shape[0]
+    s = g // GROUPS_PER_STEP
+    c = cmin.shape[0]
+    L = GROUPS_PER_STEP * c
+
+    idsr = ids.reshape(s, GROUPS_PER_STEP, c)
+    entryr = entry.reshape(s, GROUPS_PER_STEP, c)
+    cnt = counts.reshape(s, GROUPS_PER_STEP, 1)
+    rank = jnp.arange(c, dtype=jnp.int32)[None, None, :]
+    valid = rank < cnt                                       # (S, 16, C)
+    g_local = jnp.arange(GROUPS_PER_STEP, dtype=jnp.int32)[None, :, None]
+    code = (g_local << 16) | idsr
+    # group-major, rank-minor order with pads pushed to the tail
+    key = jnp.where(valid, g_local * c + rank, jnp.int32(1 << 30))
+    order = jnp.argsort(key.reshape(s, L), axis=1)
+    codes = jnp.take_along_axis(code.reshape(s, L), order, axis=1)
+    entries = jnp.take_along_axis(entryr.reshape(s, L), order, axis=1)
+    n = jnp.sum(valid.reshape(s, L), axis=1).astype(jnp.int32)
+    return n[:, None], codes, entries
 
 
-def _tri_kernel(counts_ref, ids_ref, entry_ref, o_ref, d_ref, m_ref,
-                tmin_ref, tmax_ref, feats_ref, out_ref):
-    """Per 64-ray group: walk its entered-cluster list front-to-back,
-    intersecting 128 triangles per visit as one (64, 128) tile."""
-    for g in range(GROUPS_PER_STEP):
-        r0 = g * GROUP
-        ox = o_ref[r0:r0 + GROUP, 0:1]
-        oy = o_ref[r0:r0 + GROUP, 1:2]
-        oz = o_ref[r0:r0 + GROUP, 2:3]
-        dx = d_ref[r0:r0 + GROUP, 0:1]
-        dy = d_ref[r0:r0 + GROUP, 1:2]
-        dz = d_ref[r0:r0 + GROUP, 2:3]
-        mx = m_ref[r0:r0 + GROUP, 0:1]
-        my = m_ref[r0:r0 + GROUP, 1:2]
-        mz = m_ref[r0:r0 + GROUP, 2:3]
-        t_min = tmin_ref[r0:r0 + GROUP, 0:1]
-        t_max = tmax_ref[r0:r0 + GROUP, 0:1]
+# ------------------------------------------------------------------ kernel
 
-        n_visit = counts_ref[g, 0]
-        zero = jnp.zeros((GROUP, 1), jnp.float32)
-        init = (jnp.int32(0), jnp.full((GROUP, 1), BIG, jnp.float32),
-                zero, zero, zero, jnp.float32(BIG))
 
-        def cond(carry, _g=g):
-            j, best_t, _u, _v, _s, far = carry
-            # stop once every ray's best hit is nearer than the next
-            # cluster's entry t (ordered-descent early out, bvh.rs:106-112)
-            return (j < n_visit) & (entry_ref[_g, j] < far)
+def _wavefront_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
+                      sentry_ref, rays_ref, tri_ref, sph_ref, out_ref):
+    """Drain this step's triangle and sphere visit queues.
 
-        def body(carry, _g=g):
-            j, best_t, best_u, best_v, best_slot, _far = carry
-            ci = ids_ref[_g, j]
+    out cols: [tri_t, tri_u, tri_v, tri_slot, sph_t, sph_slot, -, -].
+    """
+    row = pl.program_id(0) % 8  # SMEM blocks carry 8 steps per DMA
+
+    out_ref[:, 0:1] = jnp.full((BLOCK, 1), BIG, jnp.float32)
+    out_ref[:, 1:4] = jnp.zeros((BLOCK, 3), jnp.float32)
+    out_ref[:, 4:5] = jnp.full((BLOCK, 1), BIG, jnp.float32)
+    out_ref[:, 5:8] = jnp.zeros((BLOCK, 3), jnp.float32)
+
+    def load_rays(rows):
+        ox = rays_ref[rows, 0:1]
+        oy = rays_ref[rows, 1:2]
+        oz = rays_ref[rows, 2:3]
+        dx = rays_ref[rows, 3:4]
+        dy = rays_ref[rows, 4:5]
+        dz = rays_ref[rows, 5:6]
+        mx = rays_ref[rows, 6:7]
+        my = rays_ref[rows, 7:8]
+        mz = rays_ref[rows, 8:9]
+        t_min = rays_ref[rows, 9:10]
+        t_max = rays_ref[rows, 10:11]
+        return ox, oy, oz, dx, dy, dz, mx, my, mz, t_min, t_max
+
+    def winner(key, payload_a, payload_b):
+        """Per-row min of key + its payloads (no per-lane gather on TPU:
+        unique min-mask + sum-extraction)."""
+        cand = jnp.min(key, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+        at_min = key == cand
+        win_lane = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
+                           axis=1, keepdims=True)
+        if payload_a is None:
+            return cand, None, None, win_lane
+        mask = at_min & (lane == win_lane)
+        pa = jnp.sum(jnp.where(mask, payload_a, 0.0), axis=1, keepdims=True)
+        pb = jnp.sum(jnp.where(mask, payload_b, 0.0), axis=1, keepdims=True)
+        return cand, pa, pb, win_lane
+
+    # ---------------- triangle queue ----------------
+    n_tri = tn_ref[row, 0]
+
+    def tri_body(j, _):
+        code = tcodes_ref[row, j]
+        g = code >> 16
+        ci = code & 0xFFFF
+        rows = pl.ds(pl.multiple_of(g * GROUP, GROUP), GROUP)
+        (ox, oy, oz, dx, dy, dz, mx, my, mz, t_min, t_max) = load_rays(rows)
+        best_t = out_ref[rows, 0:1]
+        # ordered-descent early out (bvh.rs:106-112) at group granularity:
+        # skip once every lane's best hit precedes this cluster's entry
+        far = jnp.max(jnp.minimum(best_t, t_max))
+
+        @pl.when(tentry_ref[row, j] < far)
+        def _():
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
-            nx = feats_ref[0:1, sl]
-            ny = feats_ref[1:2, sl]
-            nz = feats_ref[2:3, sl]
-            a1x = feats_ref[3:4, sl]
-            a1y = feats_ref[4:5, sl]
-            a1z = feats_ref[5:6, sl]
-            cax = feats_ref[6:7, sl]
-            cay = feats_ref[7:8, sl]
-            caz = feats_ref[8:9, sl]
-            a2x = feats_ref[9:10, sl]
-            a2y = feats_ref[10:11, sl]
-            a2z = feats_ref[11:12, sl]
-            bax = feats_ref[12:13, sl]
-            bay = feats_ref[13:14, sl]
-            baz = feats_ref[14:15, sl]
-            s_t = feats_ref[15:16, sl]
+            nx = tri_ref[0:1, sl]
+            ny = tri_ref[1:2, sl]
+            nz = tri_ref[2:3, sl]
+            a1x = tri_ref[3:4, sl]
+            a1y = tri_ref[4:5, sl]
+            a1z = tri_ref[5:6, sl]
+            cax = tri_ref[6:7, sl]
+            cay = tri_ref[7:8, sl]
+            caz = tri_ref[8:9, sl]
+            a2x = tri_ref[9:10, sl]
+            a2y = tri_ref[10:11, sl]
+            a2z = tri_ref[11:12, sl]
+            bax = tri_ref[12:13, sl]
+            bay = tri_ref[13:14, sl]
+            baz = tri_ref[14:15, sl]
+            s_t = tri_ref[15:16, sl]
 
-            # Cramer's-rule Moller-Trumbore on the moment form
-            # (m = d x o): identical math to ops/intersect.py
-            det = dx * nx + dy * ny + dz * nz                    # (64, 128)
+            # Cramer's-rule Moller-Trumbore on the moment form (m = d x o);
+            # identical math to ops/intersect.py
+            det = dx * nx + dy * ny + dz * nz                 # (64, 128)
             o_n = ox * nx + oy * ny + oz * nz
             u_num = (dx * a1x + dy * a1y + dz * a1z
                      - (mx * cax + my * cay + mz * caz))
@@ -264,72 +326,48 @@ def _tri_kernel(counts_ref, ids_ref, entry_ref, o_ref, d_ref, m_ref,
                      & (tu >= 0.0) & (tv >= 0.0) & (tu + tv <= 1.0))
             key = jnp.where(valid, tt, BIG)
 
-            # branchless per-row winner: unique min-mask + sum-extractions
-            # (Mosaic has no per-lane gather)
-            cand_t = jnp.min(key, axis=1, keepdims=True)          # (64, 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-            at_min = key == cand_t
-            win_lane = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
-                               axis=1, keepdims=True)
-            mask = at_min & (lane == win_lane)
-            cand_u = jnp.sum(jnp.where(mask, tu, 0.0), axis=1, keepdims=True)
-            cand_v = jnp.sum(jnp.where(mask, tv, 0.0), axis=1, keepdims=True)
-
+            cand_t, cand_u, cand_v, win_lane = winner(key, tu, tv)
             improve = cand_t < best_t
-            best_t = jnp.where(improve, cand_t, best_t)
-            best_u = jnp.where(improve, cand_u, best_u)
-            best_v = jnp.where(improve, cand_v, best_v)
             slot = (ci * K + win_lane).astype(jnp.float32)
-            best_slot = jnp.where(improve, slot, best_slot)
-            return (j + 1, best_t, best_u, best_v, best_slot,
-                    jnp.max(best_t))
+            out_ref[rows, 0:1] = jnp.where(improve, cand_t, best_t)
+            out_ref[rows, 1:2] = jnp.where(improve, cand_u,
+                                           out_ref[rows, 1:2])
+            out_ref[rows, 2:3] = jnp.where(improve, cand_v,
+                                           out_ref[rows, 2:3])
+            out_ref[rows, 3:4] = jnp.where(improve, slot,
+                                           out_ref[rows, 3:4])
 
-        _, best_t, best_u, best_v, best_slot, _ = jax.lax.while_loop(
-            cond, body, init)
-        out_ref[r0:r0 + GROUP, 0:1] = best_t
-        out_ref[r0:r0 + GROUP, 1:2] = best_u
-        out_ref[r0:r0 + GROUP, 2:3] = best_v
-        out_ref[r0:r0 + GROUP, 3:4] = best_slot
+        return 0
 
+    jax.lax.fori_loop(0, n_tri, tri_body, 0)
 
-def _sph_kernel(counts_ref, ids_ref, entry_ref, o_ref, d_ref,
-                tmin_ref, tmax_ref, feats_ref, out_ref):
-    """Sphere analogue of _tri_kernel (half-b quadratic, two-root select —
-    reference src/hittable.rs:39-63)."""
-    for g in range(GROUPS_PER_STEP):
-        r0 = g * GROUP
-        ox = o_ref[r0:r0 + GROUP, 0:1]
-        oy = o_ref[r0:r0 + GROUP, 1:2]
-        oz = o_ref[r0:r0 + GROUP, 2:3]
-        dx = d_ref[r0:r0 + GROUP, 0:1]
-        dy = d_ref[r0:r0 + GROUP, 1:2]
-        dz = d_ref[r0:r0 + GROUP, 2:3]
-        t_min = tmin_ref[r0:r0 + GROUP, 0:1]
-        t_max = tmax_ref[r0:r0 + GROUP, 0:1]
+    # ---------------- sphere queue ----------------
+    n_sph = sn_ref[row, 0]
 
-        a_coef = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a_coef
-        o2 = ox * ox + oy * oy + oz * oz
-        d_o = dx * ox + dy * oy + dz * oz
+    def sph_body(j, _):
+        code = scodes_ref[row, j]
+        g = code >> 16
+        ci = code & 0xFFFF
+        rows = pl.ds(pl.multiple_of(g * GROUP, GROUP), GROUP)
+        (ox, oy, oz, dx, dy, dz, _mx, _my, _mz, t_min, t_max) = load_rays(rows)
+        best_t = out_ref[rows, 4:5]
+        tri_t = out_ref[rows, 0:1]
+        far = jnp.max(jnp.minimum(jnp.minimum(best_t, tri_t), t_max))
 
-        n_visit = counts_ref[g, 0]
-        init = (jnp.int32(0), jnp.full((GROUP, 1), BIG, jnp.float32),
-                jnp.zeros((GROUP, 1), jnp.float32), jnp.float32(BIG))
-
-        def cond(carry, _g=g):
-            j, _t, _i, far = carry
-            return (j < n_visit) & (entry_ref[_g, j] < far)
-
-        def body(carry, _g=g):
-            j, best_t, best_idx, _far = carry
-            ci = ids_ref[_g, j]
+        @pl.when(sentry_ref[row, j] < far)
+        def _():
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
-            cx = feats_ref[0:1, sl]
-            cy = feats_ref[1:2, sl]
-            cz = feats_ref[2:3, sl]
-            cc = feats_ref[3:4, sl]
-            ok_lane = feats_ref[4:5, sl]
+            cx = sph_ref[0:1, sl]
+            cy = sph_ref[1:2, sl]
+            cz = sph_ref[2:3, sl]
+            cc = sph_ref[3:4, sl]
+            ok_lane = sph_ref[4:5, sl]
 
+            # half-b quadratic, two-root select (src/hittable.rs:39-63)
+            a_coef = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a_coef
+            o2 = ox * ox + oy * oy + oz * oz
+            d_o = dx * ox + dy * oy + dz * oz
             half_b = d_o - (dx * cx + dy * cy + dz * cz)
             c_coef = o2 - 2.0 * (ox * cx + oy * cy + oz * cz) + cc
             delta = half_b * half_b - a_coef * c_coef
@@ -343,20 +381,16 @@ def _sph_kernel(counts_ref, ids_ref, entry_ref, o_ref, d_ref,
             valid = sph_ok & (t0_ok | t1_ok)
             key = jnp.where(valid, st, BIG)
 
-            cand = jnp.min(key, axis=1, keepdims=True)
-            lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-            at_min = key == cand
-            win_lane = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
-                               axis=1, keepdims=True)
-            improve = cand < best_t
-            best_t = jnp.where(improve, cand, best_t)
-            best_idx = jnp.where(
-                improve, (ci * K + win_lane).astype(jnp.float32), best_idx)
-            return j + 1, best_t, best_idx, jnp.max(best_t)
+            cand_t, _, _, win_lane = winner(key, None, None)
+            improve = cand_t < best_t
+            slot = (ci * K + win_lane).astype(jnp.float32)
+            out_ref[rows, 4:5] = jnp.where(improve, cand_t, best_t)
+            out_ref[rows, 5:6] = jnp.where(improve, slot,
+                                           out_ref[rows, 5:6])
 
-        _, best_t, best_idx, _ = jax.lax.while_loop(cond, body, init)
-        out_ref[r0:r0 + GROUP, 0:1] = best_t
-        out_ref[r0:r0 + GROUP, 1:2] = best_idx
+        return 0
+
+    jax.lax.fori_loop(0, n_sph, sph_body, 0)
 
 
 def _pad_rays(rays: RayBatch, block: int):
@@ -378,74 +412,81 @@ def _pad_rays(rays: RayBatch, block: int):
     ), b
 
 
+def _pad_queue_rows(arrs, s):
+    """Pad the step axis to a multiple of 8 (SMEM blocks carry 8 rows)."""
+    sp = ((s + 7) // 8) * 8
+    if sp == s:
+        return arrs
+    return [jnp.concatenate(
+        [a, jnp.zeros((sp - s,) + a.shape[1:], a.dtype)]) for a in arrs]
+
+
 def intersect_grouped(accel: GroupedAccel, tables, rays: RayBatch,
                       interpret: bool = False) -> HitBatch:
-    """Closest hit over all scene primitives via the grouped kernels."""
+    """Closest hit over all scene primitives via the wavefront kernel."""
     padded, b = _pad_rays(rays, BLOCK)
     bp = padded.origin.shape[0]
-    grid = (bp // BLOCK,)
+    s = bp // BLOCK
+    grid = (s,)
 
     o = padded.origin
     d = padded.direction
     m = jnp.cross(d, o)
-    tmin = padded.t_min[:, None]
-    tmax = padded.t_max[:, None]
+    packed = jnp.concatenate([
+        o, d, m, padded.t_min[:, None], padded.t_max[:, None],
+        jnp.zeros((bp, RAY_COLS - 11), jnp.float32)], axis=1)
 
-    ray_spec = pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tn, tcodes, tentry = build_visit_queue(padded, accel.tri_cmin,
+                                           accel.tri_cmax)
+    sn, scodes, sentry = build_visit_queue(padded, accel.sph_cmin,
+                                           accel.sph_cmax)
+    tn, tcodes, tentry = _pad_queue_rows([tn, tcodes, tentry], s)
+    sn, scodes, sentry = _pad_queue_rows([sn, scodes, sentry], s)
 
-    def smem(width):
-        return pl.BlockSpec((GROUPS_PER_STEP, width), lambda i: (i, 0),
+    def smem(arr):
+        return pl.BlockSpec((8, arr.shape[1]), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
 
-    # --- triangles ---
-    t_counts, t_ids, t_entry = select_clusters(padded, accel.tri_cmin,
-                                               accel.tri_cmax)
-    ct = accel.tri_cmin.shape[0]
-    tri_out = pl.pallas_call(
-        _tri_kernel,
+    out = pl.pallas_call(
+        _wavefront_kernel,
         grid=grid,
-        in_specs=[smem(1), smem(ct), smem(ct), ray_spec, ray_spec, ray_spec,
-                  scalar_spec, scalar_spec, table_spec],
-        out_specs=pl.BlockSpec((BLOCK, 4), lambda i: (i, 0),
+        in_specs=[smem(tn), smem(tcodes), smem(tentry),
+                  smem(sn), smem(scodes), smem(sentry),
+                  pl.BlockSpec((BLOCK, RAY_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, 4), jnp.float32),
-        interpret=interpret,
-    )(t_counts, t_ids, t_entry, o, d, m, tmin, tmax, accel.tri_feats)
-    tri_out = jax.lax.stop_gradient(tri_out)
-
-    # --- spheres ---
-    s_counts, s_ids, s_entry = select_clusters(padded, accel.sph_cmin,
-                                               accel.sph_cmax)
-    cs = accel.sph_cmin.shape[0]
-    sph_out = pl.pallas_call(
-        _sph_kernel,
-        grid=grid,
-        in_specs=[smem(1), smem(cs), smem(cs), ray_spec, ray_spec,
-                  scalar_spec, scalar_spec, table_spec],
-        out_specs=pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK, OUT_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, OUT_COLS), jnp.float32),
         interpret=interpret,
-    )(s_counts, s_ids, s_entry, o, d, tmin, tmax, accel.sph_feats)
-    sph_out = jax.lax.stop_gradient(sph_out)
+    )(tn, tcodes, tentry, sn, scodes, sentry, packed,
+      accel.tri_feats, accel.sph_feats)
+    out = jax.lax.stop_gradient(out[:b])
 
-    # ---- combine + assemble hit fields (XLA; per-ray only) ----
-    tr_t = tri_out[:b, 0]
-    tr_u = tri_out[:b, 1]
-    tr_v = tri_out[:b, 2]
-    tr_slot = tri_out[:b, 3].astype(jnp.int32)
+    # ---- packed shade tables (built from `tables` inside the trace so
+    # gradients flow to vertex attributes / material ids' gathers) ----
+    tp = accel.tri_perm
+    tri_shade = jnp.concatenate([
+        tables.tri_na[tp], tables.tri_nb[tp], tables.tri_nc[tp],
+        tables.tri_ua[tp], tables.tri_ub[tp], tables.tri_uc[tp],
+        tables.tri_material[tp][:, None].astype(jnp.float32)], axis=1)  # (Tp,16)
+    sp = accel.sph_perm
+    sph_shade = jnp.concatenate([
+        tables.s_center[sp], tables.s_radius[sp][:, None],
+        tables.s_material[sp][:, None].astype(jnp.float32)], axis=1)    # (Sp,5)
+
+    tr_t = out[:, 0]
+    tr_u = out[:, 1]
+    tr_v = out[:, 2]
+    tr_slot = jnp.clip(out[:, 3].astype(jnp.int32), 0, tp.shape[0] - 1)
     tr_hit = tr_t < BIG
-    t_best = accel.tri_perm[jnp.clip(tr_slot, 0, accel.tri_perm.shape[0] - 1)]
-
-    s_t = sph_out[:b, 0]
+    s_t = out[:, 4]
     s_hit = s_t < BIG
-    s_slot = jnp.clip(sph_out[:b, 1].astype(jnp.int32), 0,
-                      accel.sph_perm.shape[0] - 1)
-    s_best = accel.sph_perm[s_slot]
+    s_slot = jnp.clip(out[:, 5].astype(jnp.int32), 0, sp.shape[0] - 1)
+
+    tg = tri_shade[tr_slot]   # ONE row gather per type instead of ~7
+    sg = sph_shade[s_slot]
 
     o = rays.origin
     d = rays.direction
@@ -453,24 +494,20 @@ def intersect_grouped(accel: GroupedAccel, tables, rays: RayBatch,
     s_t_safe = jnp.where(s_hit, s_t, 1.0)
     tr_t_safe = jnp.where(tr_hit, tr_t, 1.0)
 
-    sc = tables.s_center[s_best]
-    sr = tables.s_radius[s_best]
-    s_pos, s_nrm, s_uv = sphere_hit_fields(sc, sr, s_t_safe, o, d)
-    s_mat = tables.s_material[s_best]
-
+    s_pos, s_nrm, s_uv = sphere_hit_fields(sg[:, 0:3], sg[:, 3], s_t_safe, o, d)
     t_pos, t_nrm, t_uv = triangle_hit_fields(
         tr_t_safe, tr_u, tr_v,
-        tables.tri_na[t_best], tables.tri_nb[t_best], tables.tri_nc[t_best],
-        tables.tri_ua[t_best], tables.tri_ub[t_best], tables.tri_uc[t_best],
+        tg[:, 0:3], tg[:, 3:6], tg[:, 6:9],
+        tg[:, 9:11], tg[:, 11:13], tg[:, 13:15],
         o, d)
-    t_mat = tables.tri_material[t_best]
 
     sw3 = sphere_wins[:, None]
+    material = jnp.where(sphere_wins, sg[:, 4], tg[:, 15]).astype(jnp.int32)
     return HitBatch(
         t=jnp.where(sphere_wins, s_t, tr_t),
         position=jnp.where(sw3, s_pos, t_pos),
         normal=jnp.where(sw3, s_nrm, t_nrm),
         uv=jnp.where(sw3, s_uv, t_uv),
-        material=jnp.where(sphere_wins, s_mat, t_mat),
+        material=material,
         valid=s_hit | tr_hit,
     )
