@@ -26,7 +26,7 @@ def main():
 
     width, height, spp, max_bounce = 800, 600, 4, 8
     t0 = time.time()
-    scene = examples.bunny().build(accel="pallas")
+    scene = examples.bunny().build(accel="flash")
     print(f"scene build: {time.time() - t0:.2f}s "
           f"({scene.num_triangles} tris, {scene.num_spheres} spheres)",
           file=sys.stderr)

@@ -35,82 +35,113 @@ class ScatterSample(NamedTuple):
     valid: jnp.ndarray      # (B,) False = path absorbed (reference: Option None)
 
 
-def eval_emit(tables, kind, color, tex, ray_direction, hit: HitBatch):
+def _used(kinds, k):
+    return kinds is None or k in kinds
+
+
+def eval_emit(tables, kind, color, tex, ray_direction, hit: HitBatch,
+              features=None):
     """Emission (reference src/material.rs:49-60). `kind/color/tex` are the
     per-lane gathered emit fields (also used for the scene background with
-    broadcast scalars and an at-infinity hit)."""
-    # SkyGradient normalizes defensively, like the reference (material.rs:55)
-    dir_y = ray_direction[..., 1] / jnp.linalg.norm(ray_direction, axis=-1)
-    t = (0.5 * (dir_y + 1.0))[..., None]
-    sky = (1.0 - t) * jnp.ones(3, ray_direction.dtype) + t * jnp.asarray(
-        [0.5, 0.7, 1.0], ray_direction.dtype)
+    broadcast scalars and an at-infinity hit).
 
-    sphere_tex = sample_texture(tables, tex, hit.position, hit.uv)
+    `features` (SceneFeatures or None = all) statically skips variants the
+    scene never selects."""
+    ek = features.emit_kinds if features is not None else None
+    tk = features.texture_kinds if features is not None else None
 
     out = jnp.zeros_like(color)                                   # EMIT_NONE
-    out = jnp.where((kind == d.EMIT_DEBUG_NORMALS)[..., None], hit.normal, out)
-    out = jnp.where((kind == d.EMIT_COLOR)[..., None], color, out)
-    out = jnp.where((kind == d.EMIT_SKY_GRADIENT)[..., None], sky, out)
-    out = jnp.where((kind == d.EMIT_SKY_SPHERE)[..., None], sphere_tex, out)
+    if _used(ek, d.EMIT_DEBUG_NORMALS):
+        out = jnp.where((kind == d.EMIT_DEBUG_NORMALS)[..., None],
+                        hit.normal, out)
+    if _used(ek, d.EMIT_COLOR):
+        out = jnp.where((kind == d.EMIT_COLOR)[..., None], color, out)
+    if _used(ek, d.EMIT_SKY_GRADIENT):
+        # SkyGradient normalizes defensively, like the reference
+        # (material.rs:55)
+        dir_y = ray_direction[..., 1] / jnp.linalg.norm(ray_direction, axis=-1)
+        t = (0.5 * (dir_y + 1.0))[..., None]
+        sky = (1.0 - t) * jnp.ones(3, ray_direction.dtype) + t * jnp.asarray(
+            [0.5, 0.7, 1.0], ray_direction.dtype)
+        out = jnp.where((kind == d.EMIT_SKY_GRADIENT)[..., None], sky, out)
+    if _used(ek, d.EMIT_SKY_SPHERE):
+        sphere_tex = sample_texture(tables, tex, hit.position, hit.uv,
+                                    kinds=tk)
+        out = jnp.where((kind == d.EMIT_SKY_SPHERE)[..., None],
+                        sphere_tex, out)
     return out
 
 
-def eval_absorb(tables, kind, color, tex, hit: HitBatch):
+def eval_absorb(tables, kind, color, tex, hit: HitBatch, features=None):
     """Absorption tint (reference src/material.rs:74-81)."""
-    mapped = sample_texture(tables, tex, hit.position, hit.uv)
+    ak = features.absorb_kinds if features is not None else None
+    tk = features.texture_kinds if features is not None else None
     out = jnp.zeros_like(color)                                   # BlackBody
-    out = jnp.where((kind == d.ABSORB_WHITE_BODY)[..., None],
-                    jnp.ones_like(color), out)
-    out = jnp.where((kind == d.ABSORB_ALBEDO)[..., None], color, out)
-    out = jnp.where((kind == d.ABSORB_ALBEDO_MAP)[..., None], mapped, out)
+    if _used(ak, d.ABSORB_WHITE_BODY):
+        out = jnp.where((kind == d.ABSORB_WHITE_BODY)[..., None],
+                        jnp.ones_like(color), out)
+    if _used(ak, d.ABSORB_ALBEDO):
+        out = jnp.where((kind == d.ABSORB_ALBEDO)[..., None], color, out)
+    if _used(ak, d.ABSORB_ALBEDO_MAP):
+        mapped = sample_texture(tables, tex, hit.position, hit.uv, kinds=tk)
+        out = jnp.where((kind == d.ABSORB_ALBEDO_MAP)[..., None], mapped, out)
     return out
 
 
 def eval_scatter(tables, kind, param, ray_direction, hit: HitBatch,
-                 u1, u2, u3, u4) -> ScatterSample:
+                 u1, u2, u3, u4, features=None) -> ScatterSample:
     """Scatter sampling (reference src/material.rs:115-180).
 
     u1..u3: uniforms for the sphere/ball sample; u4: the dielectric's
     reflect-vs-refract Bernoulli draw. All (B,).
     """
+    sk = features.scatter_kinds if features is not None else None
     normal = hit.normal
     cos_in = pmath.dot(normal, ray_direction)
     backface = cos_in > 0.0
 
-    # --- Lambert (material.rs:115-130): normal + unit sphere, backface culled
-    sphere = sampling.unit_sphere(u1, u2)
-    lambert_dir = pmath.safe_normalize(normal + sphere)
-    lambert_valid = ~backface
-
-    # --- Metal (material.rs:132-152): reflect + fuzz * unit ball; cull if
-    # the fuzz pushed the ray below the surface
-    reflected = pmath.reflect(ray_direction, normal)
-    ball = sampling.unit_ball(u1, u2, u3)
-    metal_dir = pmath.safe_normalize(reflected + param[..., None] * ball)
-    metal_valid = ~backface & (pmath.dot(normal, metal_dir) >= 0.0)
-
-    # --- Dielectric (material.rs:154-180): interior flip, Schlick,
-    # Bernoulli reflect-vs-refract, TIR fallback to reflect
-    interior = backface
-    n = jnp.where(interior[..., None], -normal, normal)
-    eta = jnp.where(interior, param, 1.0 / jnp.maximum(param, 1e-8))
-    reflectance = pmath.schlick_reflectance(pmath.dot(n, ray_direction), eta)
-    refracted, refract_ok = pmath.refract(ray_direction, n, eta)
-    reflect_n = pmath.reflect(ray_direction, n)
-    choose_reflect = sampling.bernoulli(u4, jax.lax.stop_gradient(reflectance))
-    dielectric_dir = jnp.where(
-        (choose_reflect | ~refract_ok)[..., None], reflect_n, refracted)
-
     out = jnp.zeros_like(ray_direction)
     out = out.at[..., 2].set(1.0)  # inert dummy for SCATTER_NONE lanes
     valid = jnp.zeros_like(backface)
-    out = jnp.where((kind == d.SCATTER_LAMBERT)[..., None], lambert_dir, out)
-    valid = jnp.where(kind == d.SCATTER_LAMBERT, lambert_valid, valid)
-    out = jnp.where((kind == d.SCATTER_METAL)[..., None], metal_dir, out)
-    valid = jnp.where(kind == d.SCATTER_METAL, metal_valid, valid)
-    out = jnp.where((kind == d.SCATTER_DIELECTRIC)[..., None], dielectric_dir, out)
-    valid = jnp.where(kind == d.SCATTER_DIELECTRIC,
-                      jnp.ones_like(backface), valid)
+
+    if _used(sk, d.SCATTER_LAMBERT):
+        # --- Lambert (material.rs:115-130): normal + unit sphere,
+        # backface culled
+        sphere = sampling.unit_sphere(u1, u2)
+        lambert_dir = pmath.safe_normalize(normal + sphere)
+        out = jnp.where((kind == d.SCATTER_LAMBERT)[..., None],
+                        lambert_dir, out)
+        valid = jnp.where(kind == d.SCATTER_LAMBERT, ~backface, valid)
+
+    if _used(sk, d.SCATTER_METAL):
+        # --- Metal (material.rs:132-152): reflect + fuzz * unit ball; cull
+        # if the fuzz pushed the ray below the surface
+        reflected = pmath.reflect(ray_direction, normal)
+        ball = sampling.unit_ball(u1, u2, u3)
+        metal_dir = pmath.safe_normalize(reflected + param[..., None] * ball)
+        metal_valid = ~backface & (pmath.dot(normal, metal_dir) >= 0.0)
+        out = jnp.where((kind == d.SCATTER_METAL)[..., None], metal_dir, out)
+        valid = jnp.where(kind == d.SCATTER_METAL, metal_valid, valid)
+
+    if _used(sk, d.SCATTER_DIELECTRIC):
+        # --- Dielectric (material.rs:154-180): interior flip, Schlick,
+        # Bernoulli reflect-vs-refract, TIR fallback to reflect
+        interior = backface
+        n = jnp.where(interior[..., None], -normal, normal)
+        eta = jnp.where(interior, param, 1.0 / jnp.maximum(param, 1e-8))
+        reflectance = pmath.schlick_reflectance(
+            pmath.dot(n, ray_direction), eta)
+        refracted, refract_ok = pmath.refract(ray_direction, n, eta)
+        reflect_n = pmath.reflect(ray_direction, n)
+        choose_reflect = sampling.bernoulli(
+            u4, jax.lax.stop_gradient(reflectance))
+        dielectric_dir = jnp.where(
+            (choose_reflect | ~refract_ok)[..., None], reflect_n, refracted)
+        out = jnp.where((kind == d.SCATTER_DIELECTRIC)[..., None],
+                        dielectric_dir, out)
+        valid = jnp.where(kind == d.SCATTER_DIELECTRIC,
+                          jnp.ones_like(backface), valid)
+
     return ScatterSample(direction=out, valid=valid)
 
 
@@ -124,17 +155,17 @@ class MaterialOutput(NamedTuple):
 
 
 def eval_material(tables, material_id, ray_direction, hit: HitBatch,
-                  u1, u2, u3, u4) -> MaterialOutput:
+                  u1, u2, u3, u4, features=None) -> MaterialOutput:
     """Gather the per-lane material record and evaluate all three functions
     (reference Material::evaluate, src/material.rs:104-110)."""
     mid = material_id
     scatter = eval_scatter(
         tables, tables.m_scatter_kind[mid], tables.m_scatter_param[mid],
-        ray_direction, hit, u1, u2, u3, u4)
+        ray_direction, hit, u1, u2, u3, u4, features=features)
     absorb = eval_absorb(
         tables, tables.m_absorb_kind[mid], tables.m_absorb_color[mid],
-        tables.m_absorb_tex[mid], hit)
+        tables.m_absorb_tex[mid], hit, features=features)
     emit = eval_emit(
         tables, tables.m_emit_kind[mid], tables.m_emit_color[mid],
-        tables.m_emit_tex[mid], ray_direction, hit)
+        tables.m_emit_tex[mid], ray_direction, hit, features=features)
     return MaterialOutput(scatter=scatter, absorb=absorb, emit=emit)

@@ -37,40 +37,47 @@ def sample_image(tables, tex_id, uv):
     return tables.atlas[flat]                           # (B,3)
 
 
-def sample_texture(tables, tex_id, position, uv, depth: int = CHECKER_DEPTH):
+def sample_texture(tables, tex_id, position, uv, depth: int = CHECKER_DEPTH,
+                   kinds=None):
     """Sample per-lane texture ids: tex_id (B,), position (B,3), uv (B,2)
-    -> (B,3) linear color."""
+    -> (B,3) linear color.
+
+    `kinds` (a static frozenset of TEX_* constants, or None = all) names
+    the texture kinds present in the scene: variants outside it are
+    skipped at compile time (scene specialization, SceneFeatures).
+    """
     kind = tables.t_kind[tex_id]                        # (B,)
     color = tables.t_color[tex_id]                      # (B,3)
-    seed = tables.t_seed[tex_id]                        # (B,)
 
-    # kind-specific values, all computed, selected at the end
-    debug_uvs = jnp.stack(
-        [uv[..., 0], uv[..., 1], jnp.zeros_like(uv[..., 0])], axis=-1)
+    def used(k):
+        return kinds is None or k in kinds
 
-    image = sample_image(tables, tex_id, uv)
-
-    nval = noise.value_noise(position, seed)
-    noise_col = jnp.broadcast_to(nval[..., None], nval.shape + (3,))
-    pval = noise.perlin(position, seed)
-    perlin_col = jnp.broadcast_to(pval[..., None], pval.shape + (3,))
-
-    if depth > 0:
+    out = jnp.zeros_like(color)                         # TEX_MISSING -> black
+    if used(d.TEX_DEBUG_UVS):
+        debug_uvs = jnp.stack(
+            [uv[..., 0], uv[..., 1], jnp.zeros_like(uv[..., 0])], axis=-1)
+        out = jnp.where((kind == d.TEX_DEBUG_UVS)[..., None], debug_uvs, out)
+    if used(d.TEX_SOLID):
+        out = jnp.where((kind == d.TEX_SOLID)[..., None], color, out)
+    if used(d.TEX_IMAGE):
+        image = sample_image(tables, tex_id, uv)
+        out = jnp.where((kind == d.TEX_IMAGE)[..., None], image, out)
+    if used(d.TEX_CHECKER) and depth > 0:
         # checker parity (reference src/texture.rs:51-60): even iff
         # floor(x)+floor(y)+floor(z) is an even integer
         fsum = jnp.sum(jnp.floor(position), axis=-1)
         even = jnp.mod(fsum, 2.0) == 0.0
         children = tables.t_children[tex_id]            # (B,2) (odd, even)
         child = jnp.where(even, children[..., 1], children[..., 0])
-        checker = sample_texture(tables, child, position, uv, depth - 1)
-    else:
-        checker = jnp.zeros_like(color)
-
-    out = jnp.zeros_like(color)                         # TEX_MISSING -> black
-    out = jnp.where((kind == d.TEX_DEBUG_UVS)[..., None], debug_uvs, out)
-    out = jnp.where((kind == d.TEX_SOLID)[..., None], color, out)
-    out = jnp.where((kind == d.TEX_IMAGE)[..., None], image, out)
-    out = jnp.where((kind == d.TEX_CHECKER)[..., None], checker, out)
-    out = jnp.where((kind == d.TEX_NOISE)[..., None], noise_col, out)
-    out = jnp.where((kind == d.TEX_PERLIN)[..., None], perlin_col, out)
+        checker = sample_texture(tables, child, position, uv, depth - 1,
+                                 kinds)
+        out = jnp.where((kind == d.TEX_CHECKER)[..., None], checker, out)
+    if used(d.TEX_NOISE):
+        seed = tables.t_seed[tex_id]                    # (B,)
+        nval = noise.value_noise(position, seed)
+        out = jnp.where((kind == d.TEX_NOISE)[..., None], nval[..., None], out)
+    if used(d.TEX_PERLIN):
+        seed = tables.t_seed[tex_id]
+        pval = noise.perlin(position, seed)
+        out = jnp.where((kind == d.TEX_PERLIN)[..., None], pval[..., None], out)
     return out

@@ -42,11 +42,20 @@ class TraceResult(NamedTuple):
 
 
 def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
-                max_bounce: int, seed) -> TraceResult:
+                max_bounce: int, seed, features=None,
+                early_exit: bool = False) -> TraceResult:
     """Trace a batch of camera rays to completion.
 
     intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
     entry point (brute force or clustered), fixed per compiled scene.
+
+    features: SceneFeatures (or None = all) — statically skips material/
+    texture variants the scene never uses (scene specialization).
+
+    early_exit: stop bouncing once every lane has retired (lax.while_loop
+    instead of lax.scan). Bit-identical output — skipped bounces contribute
+    exactly zero — but while_loop is not reverse-mode differentiable, so
+    gradient paths keep the scan (default).
     """
     b = ray_ids.shape
     ray_ids = ray_ids.astype(jnp.uint32)
@@ -56,7 +65,8 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         kind = jnp.broadcast_to(tables.bg_kind, b)
         color = jnp.broadcast_to(tables.bg_color, b + (3,))
         tex = jnp.broadcast_to(tables.bg_tex, b)
-        return eval_emit(tables, kind, color, tex, direction, hit_inf)
+        return eval_emit(tables, kind, color, tex, direction, hit_inf,
+                         features=features)
 
     class State(NamedTuple):
         rays: RayBatch
@@ -109,7 +119,7 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         u4, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_ids)
 
         mat = eval_material(tables, hit.material, state.rays.direction, hit,
-                            u1, u2, u3, u4)
+                            u1, u2, u3, u4, features=features)
         bg = background_radiance(state.rays.direction)
 
         contrib = jnp.where(hit.valid[..., None], mat.emit, bg)
@@ -146,6 +156,23 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         return State(next_rays, radiance, throughput, active,
                      aov_normal, aov_hit, segments), None
 
-    final, _ = jax.lax.scan(bounce_step, init, jnp.arange(max_bounce))
+    if early_exit:
+        # while_loop form: identical per-bounce body, but the loop stops as
+        # soon as no lane is active — chunks whose rays all hit the sky or
+        # get absorbed early skip the remaining (all-masked, all-zero)
+        # bounces entirely. Forward-only (while_loop has no reverse rule).
+        def cond(carry):
+            state, bounce = carry
+            return (bounce < max_bounce) & jnp.any(state.active)
+
+        def body(carry):
+            state, bounce = carry
+            state, _ = bounce_step(state, bounce)
+            return state, bounce + 1
+
+        final, _ = jax.lax.while_loop(cond, body,
+                                      (init, jnp.asarray(0, jnp.int32)))
+    else:
+        final, _ = jax.lax.scan(bounce_step, init, jnp.arange(max_bounce))
     return TraceResult(color=final.radiance, aov_normal=final.aov_normal,
                        aov_hit=final.aov_hit, segments=final.segments)

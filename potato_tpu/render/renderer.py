@@ -44,6 +44,7 @@ class RenderOutput:
 def make_intersect_fn(scene: CompiledScene):
     """Pick the acceleration entry point compiled into the render fn."""
     from potato_tpu.ops.dense import DenseAccel, intersect_dense
+    from potato_tpu.ops.flash import FlashAccel, intersect_flash
     from potato_tpu.ops.grouped import GroupedAccel, intersect_grouped
     from potato_tpu.ops.pallas_intersect import PallasAccel, intersect_pallas
     from potato_tpu.scene.bvh import ClusterAccel
@@ -51,6 +52,9 @@ def make_intersect_fn(scene: CompiledScene):
     accel = scene.accel
     # interpret mode on CPU (tests); compiled Mosaic on TPU
     interp = jax.default_backend() != "tpu"
+    if isinstance(accel, FlashAccel):
+        return lambda tables, rays: intersect_flash(accel, tables, rays,
+                                                    interpret=interp)
     if isinstance(accel, GroupedAccel):
         return lambda tables, rays: intersect_grouped(accel, tables, rays,
                                                       interpret=interp)
@@ -106,10 +110,12 @@ def coherent_intersect(intersect_fn, world_min, world_max):
 
 
 def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
-                 spp, max_bounce, seed) -> TraceResult:
+                 spp, max_bounce, seed, features=None,
+                 early_exit: bool = False) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
     rays = generate_rays(camera, width, height, spp, ray_ids, seed)
-    return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed)
+    return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed,
+                       features=features, early_exit=early_exit)
 
 
 def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
@@ -131,7 +137,8 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
             return render_chunk(tables, camera, ids,
                                 intersect_fn=intersect_fn, width=width,
                                 height=height, spp=spp,
-                                max_bounce=max_bounce, seed=seed)
+                                max_bounce=max_bounce, seed=seed,
+                                features=scene.features, early_exit=True)
 
         return jax.lax.map(one_chunk, starts)
 

@@ -77,6 +77,41 @@ class CameraTables(NamedTuple):
     position: jnp.ndarray       # (3,) f32
 
 
+class SceneFeatures(NamedTuple):
+    """Which material/texture variants a scene actually uses.
+
+    Static (hashable) compile-time facts: the branchless dispatch in
+    ops/material.py and ops/texture.py computes every variant for every
+    lane, so variants a scene can never select are pure waste — profiling
+    on v5e showed the unconditional Perlin + atlas-gather evaluation
+    costing ~40% of a bounce on scenes using neither. Passing the feature
+    set lets the trace skip them at compile time; `all_features()` (the
+    default everywhere) keeps the unspecialized behavior.
+    """
+
+    scatter_kinds: frozenset
+    absorb_kinds: frozenset
+    emit_kinds: frozenset    # includes the background kind
+    texture_kinds: frozenset
+
+
+def all_features() -> SceneFeatures:
+    return SceneFeatures(
+        scatter_kinds=frozenset(
+            (d.SCATTER_NONE, d.SCATTER_LAMBERT, d.SCATTER_METAL,
+             d.SCATTER_DIELECTRIC)),
+        absorb_kinds=frozenset(
+            (d.ABSORB_BLACK_BODY, d.ABSORB_WHITE_BODY, d.ABSORB_ALBEDO,
+             d.ABSORB_ALBEDO_MAP)),
+        emit_kinds=frozenset(
+            (d.EMIT_NONE, d.EMIT_DEBUG_NORMALS, d.EMIT_COLOR,
+             d.EMIT_SKY_GRADIENT, d.EMIT_SKY_SPHERE)),
+        texture_kinds=frozenset(
+            (d.TEX_MISSING, d.TEX_DEBUG_UVS, d.TEX_SOLID, d.TEX_IMAGE,
+             d.TEX_CHECKER, d.TEX_NOISE, d.TEX_PERLIN)),
+    )
+
+
 @dataclass
 class CompiledScene:
     """A scene ready to render: device tables + static metadata.
@@ -91,6 +126,7 @@ class CompiledScene:
     accel: Optional[object]  # ClusterAccel | None
     num_spheres: int
     num_triangles: int
+    features: SceneFeatures = field(default_factory=all_features)
     # compiled-frame cache: (w, h, spp, bounce, chunk, sort) -> jitted fn,
     # so repeated renders of the same shape never retrace (renderer.py)
     fn_cache: dict = field(default_factory=dict)
@@ -219,7 +255,11 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     #   for large scenes where dense FLOPs stop winning
     # - "brute": plain VPU brute force, the List-semantics oracle
     accel_struct = None
-    if accel in ("pallas", "auto", "grouped"):
+    if accel in ("flash", "auto", "pallas"):
+        from potato_tpu.ops.flash import build_flash_accel
+
+        accel_struct = build_flash_accel(tables, ns, ntr)
+    elif accel == "grouped":
         from potato_tpu.ops.grouped import build_grouped_accel
 
         accel_struct = build_grouped_accel(tables, ns, ntr)
@@ -242,7 +282,15 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
             cluster_size=cluster_size,
         )
 
+    features = SceneFeatures(
+        scatter_kinds=frozenset(m.scatter.kind for m in mats),
+        absorb_kinds=frozenset(m.absorb.kind for m in mats),
+        emit_kinds=(frozenset(m.emit.kind for m in mats)
+                    | {builder.background.kind}),
+        texture_kinds=frozenset(t.kind for t in texs),
+    )
+
     return CompiledScene(
         tables=tables, camera=camera, accel=accel_struct,
-        num_spheres=ns, num_triangles=ntr,
+        num_spheres=ns, num_triangles=ntr, features=features,
     )
