@@ -45,8 +45,10 @@ from potato_tpu.core.types import BIG, SMOL, HitBatch, RayBatch
 from potato_tpu.ops.grouped import (
     K,
     RAY_COLS,
+    _pad_queue_rows,
     _pad_rays,
     build_grouped_accel,
+    slab_test,
 )
 from potato_tpu.ops.intersect import sphere_hit_fields, triangle_hit_fields
 
@@ -86,19 +88,7 @@ def build_block_queue(rays: RayBatch, cmin, cmax, block: int = R):
     b = rays.origin.shape[0]
     nb = b // block
     c = cmin.shape[0]
-
-    # Unrolled slab test: every intermediate is a lane-friendly (B, C) tile
-    # (per-ray scalars broadcast down sublanes, cluster bounds across lanes).
-    lo = jnp.broadcast_to(rays.t_min[:, None], (b, c))
-    hi = jnp.broadcast_to(rays.t_max[:, None], (b, c))
-    for a in range(3):
-        inv_d = (1.0 / rays.direction[:, a])[:, None]      # (B, 1)
-        oa = rays.origin[:, a][:, None]
-        t0 = (cmin[None, :, a] - oa) * inv_d               # (B, C)
-        t1 = (cmax[None, :, a] - oa) * inv_d
-        lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-        hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-    entered = hi >= lo
+    entered, lo = slab_test(rays, cmin, cmax)
 
     entry = jnp.min(jnp.where(entered, lo, jnp.inf).reshape(nb, block, c),
                     axis=1)                                 # (NB, C)
@@ -117,6 +107,10 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
                   sentry_ref, rays_ref, tri_ref, sph_ref, out_ref,
                   colt, colu, colv, cols, rbest):
     """One 512-ray block: drain its tri + sphere cluster lists."""
+    # SMEM blocks carry 8 queue rows per DMA (Mosaic requires the
+    # second-to-last block dim to be a multiple of 8; a (1, L) block on a
+    # (NB, L) array does not lower — the round-1 bench regression).
+    row = pl.program_id(0) % 8
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
     oz = rays_ref[:, 2:3]
@@ -144,9 +138,9 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
         # this cluster's entry (list is front-to-back sorted)
         far = jnp.max(jnp.minimum(rbest[:], t_max))
 
-        @pl.when(tentry_ref[0, j] < far)
+        @pl.when(tentry_ref[row, j] < far)
         def _():
-            ci = tcodes_ref[0, j]
+            ci = tcodes_ref[row, j]
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
             nx = tri_ref[0:1, sl]
             ny = tri_ref[1:2, sl]
@@ -194,7 +188,7 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, tn_ref[0, 0], tri_body, 0)
+    jax.lax.fori_loop(0, tn_ref[row, 0], tri_body, 0)
 
     # one winner extraction per block (not per visit): rbest is the min of
     # colt's columns; pick the lowest winning lane, payload via masked sums
@@ -221,9 +215,9 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
         # a sphere cluster is also dead once the TRIANGLE hit is closer
         far = jnp.max(jnp.minimum(jnp.minimum(rbest[:], tri_t), t_max))
 
-        @pl.when(sentry_ref[0, j] < far)
+        @pl.when(sentry_ref[row, j] < far)
         def _():
-            ci = scodes_ref[0, j]
+            ci = scodes_ref[row, j]
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
             cx = sph_ref[0:1, sl]
             cy = sph_ref[1:2, sl]
@@ -257,7 +251,7 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, sn_ref[0, 0], sph_body, 0)
+    jax.lax.fori_loop(0, sn_ref[row, 0], sph_body, 0)
 
     sph_t = rbest[:]
     at_min = colt[:] == sph_t
@@ -287,9 +281,13 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
                                            accel.tri_cmax)
     sn, scodes, sentry = build_block_queue(padded, accel.sph_cmin,
                                            accel.sph_cmax)
+    tn, tcodes, tentry = _pad_queue_rows([tn, tcodes, tentry], nb)
+    sn, scodes, sentry = _pad_queue_rows([sn, scodes, sentry], nb)
 
     def smem(arr):
-        return pl.BlockSpec((1, arr.shape[1]), lambda i: (i, 0),
+        # 8 queue rows per SMEM block (Mosaic 8-sublane divisibility rule);
+        # the kernel picks its row via program_id % 8.
+        return pl.BlockSpec((8, arr.shape[1]), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(

@@ -138,6 +138,15 @@ def build_grouped_accel(tables, num_spheres: int, num_triangles: int) -> Grouped
     sf[3, :S] = np.einsum("sd,sd->s", c_o, c_o) - r_o * r_o
     sf[4, :S] = 1.0  # validity lane (pad spheres invalid)
 
+    # The kernels carry the winning primitive slot (cluster*K + lane) in an
+    # f32 scratch lane; slots above 2^24 are not exactly representable and
+    # would silently shade the wrong primitive.
+    if tri_perm.shape[0] >= (1 << 24) or sph_perm.shape[0] >= (1 << 24):
+        raise ValueError(
+            "grouped/flash intersectors carry primitive slots in f32: "
+            f"padded counts (tris {tri_perm.shape[0]}, spheres "
+            f"{sph_perm.shape[0]}) must stay below 2^24")
+
     wmin = np.minimum(tri_cmin.min(0), sph_cmin.min(0))
     wmax = np.maximum(tri_cmax.max(0), sph_cmax.max(0))
 
@@ -157,6 +166,39 @@ def build_grouped_accel(tables, num_spheres: int, num_triangles: int) -> Grouped
 # ------------------------------------------------------- cluster selection
 
 
+def slab_test(rays: RayBatch, cmin, cmax):
+    """Dense slab test of every ray against every cluster AABB.
+
+    The tavianator method of src/utility.rs:137-155, vectorized over the
+    full (rays x clusters) grid. Unrolls the 3 axes so every intermediate
+    is a lane-friendly (B, C) tile: per-ray scalars broadcast down
+    sublanes, per-cluster bounds across lanes. (A (B, C, 3) formulation
+    puts the reduction on a 3-wide lane dim — catastrophic layout on TPU.)
+
+    NaN-robust: a zero direction component with the origin exactly on a
+    cluster bound yields 0 * inf = NaN; such an axis is treated as
+    non-constraining (cluster kept), matching the reference's
+    NaN-ignoring Rust f64::min/max. Conservative — an extra visit is
+    allowed, a missed hit is not.
+
+    Returns (entered (B, C) bool, lo (B, C) f32 entry distance).
+    """
+    b = rays.origin.shape[0]
+    c = cmin.shape[0]
+    lo = jnp.broadcast_to(rays.t_min[:, None], (b, c))
+    hi = jnp.broadcast_to(rays.t_max[:, None], (b, c))
+    for a in range(3):
+        inv_d = (1.0 / rays.direction[:, a])[:, None]      # (B, 1)
+        oa = rays.origin[:, a][:, None]
+        t0 = (cmin[None, :, a] - oa) * inv_d               # (B, C)
+        t1 = (cmax[None, :, a] - oa) * inv_d
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        lo = jnp.maximum(lo, jnp.where(jnp.isnan(near), -jnp.inf, near))
+        hi = jnp.minimum(hi, jnp.where(jnp.isnan(far), jnp.inf, far))
+    return hi >= lo, lo
+
+
 def select_clusters(rays: RayBatch, cmin, cmax):
     """Per 64-ray group: front-to-back list of clusters any ray enters.
 
@@ -169,21 +211,7 @@ def select_clusters(rays: RayBatch, cmin, cmax):
     b = rays.origin.shape[0]
     g = b // GROUP
     c = cmin.shape[0]
-
-    # Unroll the 3 axes so every intermediate is a lane-friendly (B, C)
-    # tile: per-ray scalars broadcast down sublanes, per-cluster bounds
-    # across lanes. (A (B, C, 3) formulation puts the reduction on a
-    # 3-wide lane dim — catastrophic layout on TPU.)
-    lo = jnp.broadcast_to(rays.t_min[:, None], (b, c))
-    hi = jnp.broadcast_to(rays.t_max[:, None], (b, c))
-    for a in range(3):
-        inv_d = (1.0 / rays.direction[:, a])[:, None]      # (B, 1)
-        oa = rays.origin[:, a][:, None]
-        t0 = (cmin[None, :, a] - oa) * inv_d               # (B, C)
-        t1 = (cmax[None, :, a] - oa) * inv_d
-        lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-        hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-    entered = hi >= lo
+    entered, lo = slab_test(rays, cmin, cmax)
 
     # group reduce over the 64-sublane ray axis
     entry = jnp.min(jnp.where(entered, lo, jnp.inf).reshape(g, GROUP, c),

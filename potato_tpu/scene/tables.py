@@ -249,10 +249,14 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     )
 
     # Acceleration choice:
-    # - "dense" (default): MXU matmul brute force — fastest below ~10^4
-    #   primitives on TPU (ops/dense.py rationale)
-    # - "cluster": Morton-cluster two-level BVH with per-lane traversal —
-    #   for large scenes where dense FLOPs stop winning
+    # - "flash" (= "auto"): the supported Pallas path — XLA-built
+    #   front-to-back cluster queues + streaming per-block closest hit
+    #   (ops/flash.py)
+    # - "grouped": previous-generation Pallas kernel, 64-ray visit queues
+    # - "pallas": ALIAS for "flash" since round 1 (it used to build the
+    #   grouped accel; "pallas_flat" reaches the original PallasAccel)
+    # - "dense": MXU matmul brute force (ops/dense.py rationale)
+    # - "cluster": Morton-cluster two-level accel with per-lane traversal
     # - "brute": plain VPU brute force, the List-semantics oracle
     accel_struct = None
     if accel in ("flash", "auto", "pallas"):
