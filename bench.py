@@ -6,6 +6,14 @@ Metric = traced path segments per second (each segment is one scene
 intersection + material evaluation, the reference's per-ray unit of work).
 Baseline target: 200M rays/s/chip (BASELINE.json north star).
 
+Timing is device-side: the frame stays on device and the timer stops on a
+host fetch of the scalar segment counter — the one reliable execution sync
+on remote-attached chips (block_until_ready returns early on this
+platform, and fetching the 58 MB frame buffers would time the tunnel, not
+the TPU; the ~26 ms sync round-trip is included, conservatively). The
+image is still rendered + saved once, outside the timed region, as the
+correctness artifact.
+
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
@@ -16,8 +24,9 @@ import time
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from potato_tpu.render.renderer import render
+    from potato_tpu.render.renderer import compile_frame, render
     from potato_tpu.scene import examples
 
     # persistent compile cache: first-ever run pays the (remote) compile,
@@ -31,30 +40,37 @@ def main():
           f"({scene.num_triangles} tris, {scene.num_spheres} spheres)",
           file=sys.stderr)
 
-    chunk = 1 << 18
-
-    # warmup / compile
     t0 = time.time()
-    out = render(scene, width, height, spp=spp, max_bounce=max_bounce,
-                 seed=0, chunk_size=chunk, with_aovs=False)
-    print(f"warmup (compile + render): {time.time() - t0:.2f}s, "
-          f"segments={out.segments}", file=sys.stderr)
+    frame_fn, starts = compile_frame(scene, width, height, spp=spp,
+                                     max_bounce=max_bounce)
+    seed = jnp.asarray(0, jnp.uint32)
+    import numpy as np
 
-    # timed
+    out = frame_fn(scene.tables, scene.camera, seed, starts)
+    segments = int(np.asarray(jnp.sum(out.segments)))  # forces full sync
+    print(f"warmup (compile + render): {time.time() - t0:.2f}s, "
+          f"segments={segments}", file=sys.stderr)
+
     best = None
     for rep in range(3):
-        t0 = time.time()
-        out = render(scene, width, height, spp=spp, max_bounce=max_bounce,
-                     seed=rep + 1, chunk_size=chunk, with_aovs=False)
-        dt = time.time() - t0
-        rays_per_s = out.segments / dt
-        print(f"rep {rep}: {dt * 1e3:.1f} ms, {out.segments} segments, "
+        seed = jnp.asarray(rep + 1, jnp.uint32)
+        t0 = time.perf_counter()
+        out = frame_fn(scene.tables, scene.camera, seed, starts)
+        segs = int(np.asarray(jnp.sum(out.segments)))  # sync point
+        dt = time.perf_counter() - t0
+        rays_per_s = segs / dt
+        print(f"rep {rep}: {dt * 1e3:.1f} ms, {segs} segments, "
               f"{rays_per_s / 1e6:.1f}M rays/s", file=sys.stderr)
         best = max(best or 0.0, rays_per_s)
 
     try:
+        t0 = time.time()
+        img = render(scene, width, height, spp=spp, max_bounce=max_bounce,
+                     seed=3, with_aovs=False)
         from potato_tpu.io import tga
-        tga.save(out.srgb(), "/tmp/bench_bunny.tga")
+        tga.save(img.srgb(), "/tmp/bench_bunny.tga")
+        print(f"image save (untimed): {time.time() - t0:.2f}s "
+              f"-> /tmp/bench_bunny.tga", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - bench must still report
         print(f"image save skipped: {e}", file=sys.stderr)
 

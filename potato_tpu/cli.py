@@ -25,7 +25,14 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", type=int, default=4, help="samples per pixel")
     p.add_argument("--max-bounce", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--accel", choices=["auto", "brute", "cluster"], default="auto")
+    p.add_argument("--accel",
+                   choices=["auto", "flash", "grouped", "pallas",
+                            "pallas_flat", "dense", "cluster", "brute"],
+                   default="auto",
+                   help="acceleration structure (auto = flash, the "
+                        "supported Pallas path; see scene/tables.py)")
+    p.add_argument("--no-progress", action="store_true",
+                   help="single-dispatch render without per-chunk progress")
     p.add_argument("--cluster-size", type=int, default=64)
     p.add_argument("--chunk-size", type=int, default=None,
                    help="rays per jit call (default: min(total, 2^18))")
@@ -81,10 +88,12 @@ def main(argv=None):
           f"({scene.num_triangles} tris, {scene.num_spheres} spheres)",
           file=sys.stderr)
 
+    # bench times a single-dispatch frame; render shows per-chunk progress
+    show_progress = args.command == "render" and not args.no_progress
     t0 = time.time()
     out = render(scene, args.width, args.height, spp=args.spp,
                  max_bounce=args.max_bounce, seed=args.seed,
-                 chunk_size=args.chunk_size, progress=True)
+                 chunk_size=args.chunk_size, progress=show_progress)
     dt = time.time() - t0
     print(f"Rendering done in {dt:.2f} seconds "
           f"({out.segments / dt / 1e6:.1f}M rays/s)", file=sys.stderr)

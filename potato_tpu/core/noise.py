@@ -3,12 +3,14 @@
 jnp port of the reference's libnoise-style integer hash
 (src/randomness.rs:91-110) and its Perlin texture (src/texture.rs:70-118).
 
-Deviation from the reference: the reference hashes in 64-bit `isize`
-arithmetic; JAX defaults to 32-bit integers, so we run the identical hash
-structure (multiply-add fold, arithmetic-shift xor, cubic remix) in int32
-with the low 32 bits of the reference's constants. The output is a
-deterministic value in [-1, 1] with the same statistical character; exact
-values are pinned by tests against an independent numpy model.
+The reference hashes in 64-bit `isize` arithmetic with wrapping ops. JAX
+runs 32-bit by default, so the hash is emulated **bit-exactly** with
+uint32 (lo, hi) pairs: wrapping 64-bit add/mul built from 16-bit limb
+products, and the arithmetic `(h >> 13) ^ h` fold as a signed shift on
+the hi word. `noise_i64` therefore matches `noise::integer` for every
+lattice point / seed (pinned against a pure-Python int model of the Rust
+code in tests/test_noise.py), and the Perlin texture renders the same
+picture as the reference.
 """
 
 from __future__ import annotations
@@ -16,35 +18,93 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-_A = np.uint32(0x899E43CF)  # low 32 bits of 0x369E6D3B899E43CF (randomness.rs:93)
-_B = np.uint32(0xFDA3B07D)  # low 32 bits of 0x53F89E7FFDA3B07D
-_C = np.uint32(0x4937E629)  # low 32 bits of 0x3B13C1CA4937E629
-_D = np.uint32(0x4019D645)  # low 32 bits of 0x577C2C6E4019D645
-_E = np.uint32(60493)
-_F = np.uint32(19990303)
-_G = np.uint32(1376312589)
-_I32_MAX = float(np.iinfo(np.int32).max)
+# 64-bit constants of src/randomness.rs:92-99, split lo/hi
+_A = (0x899E43CF, 0x369E6D3B)
+_B = (0xFDA3B07D, 0x53F89E7F)
+_C = (0x4937E629, 0x3B13C1CA)
+_D = (0x4019D645, 0x577C2C6E)
+_E = (60493, 0)
+_F = (19990303, 0)
+_G = (1376312589, 0)
+_I64_MAX = float(np.iinfo(np.int64).max)
+_TWO32 = float(2**32)
+
+
+def _u32(x):
+    return jnp.asarray(x, jnp.uint32)
+
+
+def _mul32_wide(a, b):
+    """Full 32x32 -> 64 product of uint32 arrays, as (lo, hi) uint32."""
+    mask = jnp.uint32(0xFFFF)
+    a0 = a & mask
+    a1 = a >> 16
+    b0 = b & mask
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    t = (ll >> 16) + (lh & mask) + (hl & mask)
+    lo = (ll & mask) | (t << 16)
+    hi = a1 * b1 + (lh >> 16) + (hl >> 16) + (t >> 16)
+    return lo, hi
+
+
+def _add64(x, y):
+    """(lo, hi) + (lo, hi), wrapping mod 2^64."""
+    lo = x[0] + y[0]
+    carry = (lo < x[0]).astype(jnp.uint32)
+    return lo, x[1] + y[1] + carry
+
+
+def _mul64(x, y):
+    """(lo, hi) * (lo, hi), wrapping mod 2^64."""
+    lo, hi = _mul32_wide(x[0], y[0])
+    hi = hi + x[0] * y[1] + x[1] * y[0]
+    return lo, hi
+
+
+def _const64(c):
+    return jnp.uint32(c[0]), jnp.uint32(c[1])
+
+
+def _sext64(x):
+    """int32 array -> sign-extended 64-bit (lo, hi) pair."""
+    xi = jnp.asarray(x, jnp.int32)
+    return xi.astype(jnp.uint32), (xi >> 31).astype(jnp.uint32)
+
+
+def noise_i64(x, y, z, seed):
+    """Exact `noise::integer` (src/randomness.rs:91-105) as (lo, hi) uint32.
+
+    h = A*x + B*y + C*z + D*seed;  h = (h >> 13) ^ h  (arithmetic shift);
+    h = h * (h*h*E + F) + G — all wrapping 64-bit.
+    """
+    xs, ys, zs, ss = _sext64(x), _sext64(y), _sext64(z), _sext64(seed)
+    h = _mul64(_const64(_A), xs)
+    h = _add64(h, _mul64(_const64(_B), ys))
+    h = _add64(h, _mul64(_const64(_C), zs))
+    h = _add64(h, _mul64(_const64(_D), ss))
+    # (h >> 13) ^ h on signed 64-bit: arithmetic shift of the hi word
+    s_lo = (h[0] >> 13) | (h[1] << 19)
+    s_hi = (h[1].astype(jnp.int32) >> 13).astype(jnp.uint32)
+    h = (s_lo ^ h[0], s_hi ^ h[1])
+    inner = _add64(_mul64(_mul64(h, h), _const64(_E)), _const64(_F))
+    return _add64(_mul64(h, inner), _const64(_G))
 
 
 def noise_integer(x, y, z, seed):
-    """Integer lattice hash -> int32 (structure of reference
-    src/randomness.rs:91-105). Inputs are int32 arrays (broadcastable)."""
-    xu = jnp.asarray(x).astype(jnp.uint32)
-    yu = jnp.asarray(y).astype(jnp.uint32)
-    zu = jnp.asarray(z).astype(jnp.uint32)
-    su = jnp.asarray(seed).astype(jnp.uint32)
-    h = _A * xu + _B * yu + _C * zu + _D * su
-    # Rust does (h >> 13) ^ h on a *signed* isize => arithmetic shift.
-    hi = h.astype(jnp.int32)
-    hi = (hi >> 13) ^ hi
-    h = hi.astype(jnp.uint32)
-    h = h * (h * h * _E + _F) + _G
-    return h.astype(jnp.int32)
+    """Low 32 bits of the 64-bit hash, as int32 (legacy convenience)."""
+    return noise_i64(x, y, z, seed)[0].astype(jnp.int32)
 
 
 def noise_real(x, y, z, seed):
-    """Lattice hash -> float in [-1, 1] (reference src/randomness.rs:108-110)."""
-    return noise_integer(x, y, z, seed).astype(jnp.float32) / _I32_MAX
+    """Lattice hash -> float in [-1, 1] (reference src/randomness.rs:108-110):
+    the signed 64-bit hash divided by i64::MAX, evaluated in f32 (the hi
+    word dominates; the lo word adds < 2^-31 — below f32 resolution)."""
+    lo, hi = noise_i64(x, y, z, seed)
+    hi_f = hi.astype(jnp.int32).astype(jnp.float32)
+    return (hi_f * _TWO32 + lo.astype(jnp.float32)) / _I64_MAX
 
 
 def _grad_dot(p, cx, cy, cz, seed):

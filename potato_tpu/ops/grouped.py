@@ -73,14 +73,37 @@ class GroupedAccel(NamedTuple):
 
 
 def _morton_cluster(pmin: np.ndarray, pmax: np.ndarray):
-    """Order primitives by centroid Morton code; return (order, cmin, cmax)."""
-    from potato_tpu.scene.bvh import morton_codes
+    """Median-split primitives into ceil(n/K) clusters of K; return
+    (order, pad, cmin, cmax).
 
+    The BVH-leaf analogue of the reference's recursive median split
+    (src/bvh.rs:36-67), cut off at K-primitive leaves: recursively split on
+    the longest centroid axis, giving each side a whole number of clusters.
+    Replaces plain Morton slicing (round 1), whose fixed-stride cuts of the
+    Z-curve left clusters ~2x looser — cluster tightness directly sets how
+    many clusters a ray enters, the kernel's unit of work.
+    """
     n = pmin.shape[0]
     centroid = (0.5 * (pmin + pmax)).astype(np.float32)
-    order = np.argsort(morton_codes(centroid, centroid.min(0), centroid.max(0)),
-                       kind="stable").astype(np.int32)
     c = max((n + K - 1) // K, 1)
+
+    chunks = []
+
+    def split(idx: np.ndarray, nc: int):
+        if nc == 1:
+            chunks.append(idx)
+            return
+        cen = centroid[idx]
+        axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
+        left_c = nc // 2
+        k = left_c * K  # left side gets exactly left_c full clusters
+        part = np.argpartition(cen[:, axis], k)
+        split(idx[part[:k]], left_c)
+        split(idx[part[k:]], nc - left_c)
+
+    split(np.arange(n, dtype=np.int32), c)
+    order = np.concatenate(chunks).astype(np.int32)
+
     pad = c * K - n
     bmin = np.concatenate([pmin[order], np.full((pad, 3), np.inf, np.float32)])
     bmax = np.concatenate([pmax[order], np.full((pad, 3), -np.inf, np.float32)])

@@ -81,6 +81,74 @@ def triangle_hit_t(pa, pb, pc, origin, direction, t_min, t_max):
     return jnp.where(valid, t, BIG), u, v, valid
 
 
+def triangle_hit_t_watertight(pa, pb, pc, origin, direction, t_min, t_max):
+    """Watertight ray/triangle intersection (Woop, Benthin & Wald 2013) —
+    the BASELINE north-star upgrade over the reference's Cramer's-rule form
+    (src/hittable.rs:65-101).
+
+    The ray is transformed to a shear frame where it points down +z; the
+    three 2D edge functions U, V, W are then exact up to a common rounding,
+    and a ray crossing a shared edge/vertex is accepted by at least one of
+    the adjacent triangles (edges cannot leak). Boundary hits (some edge
+    function exactly 0) are accepted when the remaining signs agree.
+
+    Returns (t, u, v, valid) with the same barycentric convention as
+    `triangle_hit_t`: u weights pb, v weights pc, 1-u-v weights pa.
+    """
+    d = direction
+
+    # shear-frame axes: kz = largest |d| component; kx, ky cyclic, swapped
+    # when d[kz] < 0 to preserve winding
+    ad = jnp.abs(d)
+    kz = jnp.argmax(ad, axis=-1)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    dz = jnp.take_along_axis(d, kz[..., None], axis=-1)[..., 0]
+    swap = dz < 0.0
+    kx, ky = jnp.where(swap, ky, kx), jnp.where(swap, kx, ky)
+
+    def sel(vec, k):
+        return jnp.take_along_axis(
+            jnp.broadcast_to(vec, jnp.broadcast_shapes(vec.shape, d.shape)),
+            k[..., None], axis=-1)[..., 0]
+
+    safe_dz = jnp.where(dz == 0.0, 1.0, dz)  # dz != 0 unless d == 0
+    sx = sel(d, kx) / safe_dz
+    sy = sel(d, ky) / safe_dz
+    sz = 1.0 / safe_dz
+
+    a = pa - origin
+    b = pb - origin
+    c = pc - origin
+    az, bz, cz = sel(a, kz), sel(b, kz), sel(c, kz)
+    ax = sel(a, kx) - sx * az
+    ay = sel(a, ky) - sy * az
+    bx = sel(b, kx) - sx * bz
+    by = sel(b, ky) - sy * bz
+    cx = sel(c, kx) - sx * cz
+    cy = sel(c, ky) - sy * cz
+
+    # 2D edge functions: area(O,B,C) weights pa, area(O,C,A) weights pb,
+    # area(O,A,B) weights pc
+    u_e = cx * by - cy * bx
+    v_e = ax * cy - ay * cx
+    w_e = bx * ay - by * ax
+
+    det = u_e + v_e + w_e
+    same_sign = ((u_e >= 0.0) & (v_e >= 0.0) & (w_e >= 0.0)) | \
+                ((u_e <= 0.0) & (v_e <= 0.0) & (w_e <= 0.0))
+    det_ok = det != 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+
+    t_scaled = u_e * (sz * az) + v_e * (sz * bz) + w_e * (sz * cz)
+    t = t_scaled * inv_det
+    u = v_e * inv_det   # pb weight
+    v = w_e * inv_det   # pc weight
+
+    valid = det_ok & same_sign & (t >= t_min) & (t <= t_max)
+    return jnp.where(valid, t, BIG), u, v, valid
+
+
 def triangle_hit_fields(t, u, v, na, nb, nc, ua, ub, uc, origin, direction):
     """Barycentric interpolation of normal/uv (reference src/hittable.rs:103-107).
     The interpolated normal is intentionally NOT renormalized (quirk kept)."""

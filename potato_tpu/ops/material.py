@@ -12,8 +12,9 @@ Differentiability conventions (BASELINE.json north star):
 - Dielectric IOR: gradients flow through eta, Schlick reflectance and the
   refracted direction; the reflect-vs-refract Bernoulli *choice* is
   detached (sampled from a parameter-independent uniform). The choice
-  probability's own gradient can be recovered with a score-function
-  surrogate (potato_tpu.diff) when unbiased IOR gradients are required.
+  probability's own gradient is recovered by the score-function surrogate
+  in potato_tpu.diff.surrogate — pass ior_score=True to eval_material /
+  eval_scatter (tested in tests/test_surrogate.py).
 """
 
 from __future__ import annotations
@@ -33,6 +34,9 @@ from potato_tpu.scene import description as d
 class ScatterSample(NamedTuple):
     direction: jnp.ndarray  # (B,3) next bounce direction (dummy when invalid)
     valid: jnp.ndarray      # (B,) False = path absorbed (reference: Option None)
+    weight: jnp.ndarray = None  # (B,) importance weight, forward-value 1.0;
+    # carries the score-function gradient of discrete sampling choices
+    # (potato_tpu.diff.surrogate) when ior_score=True
 
 
 def _used(kinds, k):
@@ -89,11 +93,16 @@ def eval_absorb(tables, kind, color, tex, hit: HitBatch, features=None):
 
 
 def eval_scatter(tables, kind, param, ray_direction, hit: HitBatch,
-                 u1, u2, u3, u4, features=None) -> ScatterSample:
+                 u1, u2, u3, u4, features=None,
+                 ior_score: bool = False) -> ScatterSample:
     """Scatter sampling (reference src/material.rs:115-180).
 
     u1..u3: uniforms for the sphere/ball sample; u4: the dielectric's
     reflect-vs-refract Bernoulli draw. All (B,).
+
+    ior_score: attach the score-function surrogate weight for the
+    dielectric's Bernoulli choice (diff/surrogate.py) so d/d(IOR) also
+    sees the choice-probability term. Forward values are unchanged.
     """
     sk = features.scatter_kinds if features is not None else None
     normal = hit.normal
@@ -103,6 +112,7 @@ def eval_scatter(tables, kind, param, ray_direction, hit: HitBatch,
     out = jnp.zeros_like(ray_direction)
     out = out.at[..., 2].set(1.0)  # inert dummy for SCATTER_NONE lanes
     valid = jnp.zeros_like(backface)
+    weight = jnp.ones_like(u1)
 
     if _used(sk, d.SCATTER_LAMBERT):
         # --- Lambert (material.rs:115-130): normal + unit sphere,
@@ -141,8 +151,16 @@ def eval_scatter(tables, kind, param, ray_direction, hit: HitBatch,
                         dielectric_dir, out)
         valid = jnp.where(kind == d.SCATTER_DIELECTRIC,
                           jnp.ones_like(backface), valid)
+        if ior_score:
+            from potato_tpu.diff.surrogate import score_weight
 
-    return ScatterSample(direction=out, valid=valid)
+            # TIR lanes reflect deterministically (probability 1): no score
+            chose = choose_reflect | ~refract_ok
+            prob = jnp.where(refract_ok, reflectance, 1.0)
+            w = score_weight(prob, chose)
+            weight = jnp.where(kind == d.SCATTER_DIELECTRIC, w, weight)
+
+    return ScatterSample(direction=out, valid=valid, weight=weight)
 
 
 class MaterialOutput(NamedTuple):
@@ -155,17 +173,27 @@ class MaterialOutput(NamedTuple):
 
 
 def eval_material(tables, material_id, ray_direction, hit: HitBatch,
-                  u1, u2, u3, u4, features=None) -> MaterialOutput:
+                  u1, u2, u3, u4, features=None,
+                  ior_score: bool = False) -> MaterialOutput:
     """Gather the per-lane material record and evaluate all three functions
-    (reference Material::evaluate, src/material.rs:104-110)."""
+    (reference Material::evaluate, src/material.rs:104-110).
+
+    With ior_score=True, the dielectric Bernoulli's score-function weight
+    (forward value exactly 1) is folded into `absorb`, so the integrator's
+    `throughput *= absorb` picks up the choice-probability gradient with no
+    integrator change (diff/surrogate.py).
+    """
     mid = material_id
     scatter = eval_scatter(
         tables, tables.m_scatter_kind[mid], tables.m_scatter_param[mid],
-        ray_direction, hit, u1, u2, u3, u4, features=features)
+        ray_direction, hit, u1, u2, u3, u4, features=features,
+        ior_score=ior_score)
     absorb = eval_absorb(
         tables, tables.m_absorb_kind[mid], tables.m_absorb_color[mid],
         tables.m_absorb_tex[mid], hit, features=features)
     emit = eval_emit(
         tables, tables.m_emit_kind[mid], tables.m_emit_color[mid],
         tables.m_emit_tex[mid], ray_direction, hit, features=features)
+    if ior_score:
+        absorb = absorb * scatter.weight[..., None]
     return MaterialOutput(scatter=scatter, absorb=absorb, emit=emit)

@@ -119,30 +119,63 @@ def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
 
 
 def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
-                    max_bounce: int, chunk_size: int, sort_rays: bool):
+                    max_bounce: int, chunk_size: int, sort_rays: bool,
+                    per_chunk: bool = False):
     """One jitted function rendering ALL chunks of a frame in one dispatch.
 
     `seed` and the chunk start offsets are dynamic arguments, so reseeding
     or re-rendering never retraces or recompiles; `lax.map` serializes the
-    chunks on device (bounded memory, zero per-chunk dispatch latency)."""
+    chunks on device (bounded memory, zero per-chunk dispatch latency).
+
+    per_chunk=True returns instead a jitted single-chunk function
+    (tables, camera, seed, start) -> TraceResult, dispatched once per chunk
+    by the caller — the progress-reporting path."""
     intersect_fn = make_intersect_fn(scene)
     if sort_rays:
         intersect_fn = coherent_intersect(intersect_fn, scene.accel.world_min,
                                           scene.accel.world_max)
     total = width * height * spp
 
-    def frame(tables, camera, seed, starts):
-        def one_chunk(start):
-            ids = (jax.lax.iota(jnp.uint32, chunk_size) + start) % jnp.uint32(total)
-            return render_chunk(tables, camera, ids,
-                                intersect_fn=intersect_fn, width=width,
-                                height=height, spp=spp,
-                                max_bounce=max_bounce, seed=seed,
-                                features=scene.features, early_exit=True)
+    def one_chunk(tables, camera, seed, start):
+        ids = (jax.lax.iota(jnp.uint32, chunk_size) + start) % jnp.uint32(total)
+        return render_chunk(tables, camera, ids,
+                            intersect_fn=intersect_fn, width=width,
+                            height=height, spp=spp,
+                            max_bounce=max_bounce, seed=seed,
+                            features=scene.features, early_exit=True)
 
-        return jax.lax.map(one_chunk, starts)
+    if per_chunk:
+        return jax.jit(one_chunk)
+
+    def frame(tables, camera, seed, starts):
+        return jax.lax.map(
+            lambda start: one_chunk(tables, camera, seed, start), starts)
 
     return jax.jit(frame)
+
+
+def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
+                  max_bounce: int = 8, chunk_size: Optional[int] = None):
+    """Compile (or fetch cached) the single-dispatch frame function.
+
+    Returns (frame_fn, starts): frame_fn(tables, camera, seed_u32, starts)
+    -> TraceResult of stacked chunks, entirely on device. This is the
+    device-only benchmarking surface — timing it with block_until_ready
+    measures TPU compute without host-transfer latency (bench.py).
+    """
+    total = width * height * spp
+    if chunk_size is None:
+        chunk_size = min(total, 1 << 18)
+    chunk_size = min(chunk_size, total)
+    num_chunks = (total + chunk_size - 1) // chunk_size
+    key = (width, height, spp, max_bounce, chunk_size, False, False)
+    frame_fn = scene.fn_cache.get(key)
+    if frame_fn is None:
+        frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
+                                   chunk_size, sort_rays=False)
+        scene.fn_cache[key] = frame_fn
+    starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
+    return frame_fn, starts
 
 
 def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
@@ -167,29 +200,50 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     # they buy. The per-ray cluster selection already adapts to incoherent
     # rays, and camera order itself is pixel-coherent.
     sort_rays = False
-    key = (width, height, spp, max_bounce, chunk_size, sort_rays)
+    key = (width, height, spp, max_bounce, chunk_size, sort_rays, progress)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, sort_rays)
+                                   chunk_size, sort_rays, per_chunk=progress)
         scene.fn_cache[key] = frame_fn
 
     # fixed chunk shape: the tail chunk wraps around (duplicate work on
     # <1 chunk of rays, zero recompilation)
     starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
-    out = frame_fn(scene.tables, scene.camera,
-                   jnp.asarray(seed, jnp.uint32), starts)
+    if progress:
+        # per-chunk dispatch + a progress line per completed chunk — the
+        # reference's per-tile indicatif bar (src/main.rs:37,92). Costs one
+        # dispatch round trip per chunk; progress=False renders the whole
+        # frame in a single dispatch.
+        import sys
 
-    color = np.asarray(out.color.reshape(-1, 3))[:total]
+        chunks = []
+        for i in range(num_chunks):
+            chunks.append(jax.block_until_ready(frame_fn(
+                scene.tables, scene.camera, jnp.asarray(seed, jnp.uint32),
+                starts[i])))
+            done = min((i + 1) * chunk_size, total)
+            print(f"\r[{done}/{total} rays, chunk {i + 1}/{num_chunks}]",
+                  end="" if i + 1 < num_chunks else "\n",
+                  file=sys.stderr, flush=True)
+        out = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunks)
+    else:
+        out = frame_fn(scene.tables, scene.camera,
+                       jnp.asarray(seed, jnp.uint32), starts)
+
+    # spp average (reference main.rs:88-90) on device: the host fetch is a
+    # quarter the bytes (and remote-attached chips pay real transfer cost)
+    color = np.asarray(
+        out.color.reshape(-1, 3)[:total].reshape(height, width, spp, 3)
+        .mean(axis=2))
     segments = int(np.asarray(jnp.sum(out.segments)))
-
-    # spp average (reference main.rs:88-90)
-    color = color.reshape(height, width, spp, 3).mean(axis=2)
     if with_aovs:
-        normal = np.asarray(out.aov_normal.reshape(-1, 3))[:total]
-        hit = np.asarray(out.aov_hit.reshape(-1))[:total]
-        normal = normal.reshape(height, width, spp, 3).mean(axis=2)
-        coverage = hit.reshape(height, width, spp).mean(axis=2).astype(np.float32)
+        normal = np.asarray(
+            out.aov_normal.reshape(-1, 3)[:total]
+            .reshape(height, width, spp, 3).mean(axis=2))
+        coverage = np.asarray(
+            out.aov_hit.reshape(-1)[:total].astype(jnp.float32)
+            .reshape(height, width, spp).mean(axis=2))
     else:
         normal = np.zeros_like(color)
         coverage = np.zeros(color.shape[:2], np.float32)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,43 +210,48 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     tri = {k: np.concatenate(v, axis=0).astype(np.float32 if k != "mat" else np.int32)
            for k, v in tri_parts.items()}
 
+    # Host-side (numpy) tables: the accel builders below read these with
+    # np.asarray, so building them as device arrays first would cost one
+    # blocking device->host round trip per field — a multi-minute scene
+    # build on remote-attached TPUs. Everything stays numpy until one
+    # tree-wide upload at the end.
     tables = SceneTables(
-        m_scatter_kind=jnp.asarray([m.scatter.kind for m in mats], jnp.int32),
-        m_scatter_param=jnp.asarray([m.scatter.param for m in mats], jnp.float32),
-        m_absorb_kind=jnp.asarray([m.absorb.kind for m in mats], jnp.int32),
-        m_absorb_color=jnp.asarray([m.absorb.color for m in mats], jnp.float32),
-        m_absorb_tex=jnp.asarray([m.absorb.texture for m in mats], jnp.int32),
-        m_emit_kind=jnp.asarray([m.emit.kind for m in mats], jnp.int32),
-        m_emit_color=jnp.asarray([m.emit.color for m in mats], jnp.float32),
-        m_emit_tex=jnp.asarray([m.emit.texture for m in mats], jnp.int32),
-        t_kind=jnp.asarray([t.kind for t in texs], jnp.int32),
-        t_color=jnp.asarray([t.color for t in texs], jnp.float32),
-        t_children=jnp.asarray([t.children for t in texs], jnp.int32),
-        t_seed=jnp.asarray([t.seed for t in texs], jnp.int32),
-        t_image=jnp.asarray(t_image),
-        atlas=jnp.asarray(atlas),
-        bg_kind=jnp.asarray(builder.background.kind, jnp.int32),
-        bg_color=jnp.asarray(builder.background.color, jnp.float32),
-        bg_tex=jnp.asarray(builder.background.texture, jnp.int32),
-        s_center=jnp.asarray(s_center),
-        s_radius=jnp.asarray(s_radius),
-        s_material=jnp.asarray(s_material),
-        tri_pa=jnp.asarray(tri["pa"]), tri_pb=jnp.asarray(tri["pb"]),
-        tri_pc=jnp.asarray(tri["pc"]), tri_na=jnp.asarray(tri["na"]),
-        tri_nb=jnp.asarray(tri["nb"]), tri_nc=jnp.asarray(tri["nc"]),
-        tri_ua=jnp.asarray(tri["ua"]), tri_ub=jnp.asarray(tri["ub"]),
-        tri_uc=jnp.asarray(tri["uc"]),
-        tri_material=jnp.asarray(tri["mat"]),
+        m_scatter_kind=np.asarray([m.scatter.kind for m in mats], np.int32),
+        m_scatter_param=np.asarray([m.scatter.param for m in mats], np.float32),
+        m_absorb_kind=np.asarray([m.absorb.kind for m in mats], np.int32),
+        m_absorb_color=np.asarray([m.absorb.color for m in mats], np.float32),
+        m_absorb_tex=np.asarray([m.absorb.texture for m in mats], np.int32),
+        m_emit_kind=np.asarray([m.emit.kind for m in mats], np.int32),
+        m_emit_color=np.asarray([m.emit.color for m in mats], np.float32),
+        m_emit_tex=np.asarray([m.emit.texture for m in mats], np.int32),
+        t_kind=np.asarray([t.kind for t in texs], np.int32),
+        t_color=np.asarray([t.color for t in texs], np.float32),
+        t_children=np.asarray([t.children for t in texs], np.int32),
+        t_seed=np.asarray([t.seed for t in texs], np.int32),
+        t_image=t_image,
+        atlas=atlas,
+        bg_kind=np.asarray(builder.background.kind, np.int32),
+        bg_color=np.asarray(builder.background.color, np.float32),
+        bg_tex=np.asarray(builder.background.texture, np.int32),
+        s_center=s_center,
+        s_radius=s_radius,
+        s_material=s_material,
+        tri_pa=tri["pa"], tri_pb=tri["pb"],
+        tri_pc=tri["pc"], tri_na=tri["na"],
+        tri_nb=tri["nb"], tri_nc=tri["nc"],
+        tri_ua=tri["ua"], tri_ub=tri["ub"],
+        tri_uc=tri["uc"],
+        tri_material=tri["mat"],
     )
 
     cam = builder.camera
     camera = CameraTables(
-        aspect_ratio=jnp.asarray(cam.aspect_ratio, jnp.float32),
-        tan_half_fov=jnp.asarray(np.tan(0.5 * cam.fov), jnp.float32),
-        focal_dist=jnp.asarray(cam.focal_dist, jnp.float32),
-        lens_radius=jnp.asarray(cam.lens_radius, jnp.float32),
-        orientation=jnp.asarray(cam.orientation()),
-        position=jnp.asarray(cam.position, jnp.float32),
+        aspect_ratio=np.asarray(cam.aspect_ratio, np.float32),
+        tan_half_fov=np.asarray(np.tan(0.5 * cam.fov), np.float32),
+        focal_dist=np.asarray(cam.focal_dist, np.float32),
+        lens_radius=np.asarray(cam.lens_radius, np.float32),
+        orientation=np.asarray(cam.orientation(), np.float32),
+        position=np.asarray(cam.position, np.float32),
     )
 
     # Acceleration choice:
@@ -293,6 +299,10 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
                     | {builder.background.kind}),
         texture_kinds=frozenset(t.kind for t in texs),
     )
+
+    # single tree-wide upload (accel leaves are already device arrays)
+    tables = jax.tree_util.tree_map(jnp.asarray, tables)
+    camera = jax.tree_util.tree_map(jnp.asarray, camera)
 
     return CompiledScene(
         tables=tables, camera=camera, accel=accel_struct,

@@ -1,8 +1,9 @@
 """Exactness tests for the lattice hash and Perlin noise.
 
-The hash structure mirrors the reference (src/randomness.rs:91-110,
-src/texture.rs:70-118) in 32-bit arithmetic; values are pinned against an
-independent pure-numpy model so any jnp regression is caught bit-exactly.
+The 64-bit wrapping hash (reference src/randomness.rs:91-110) is emulated
+with uint32 (lo, hi) pairs; these tests pin it **bit-for-bit** against a
+pure-Python integer model of the Rust code, so noise/Perlin textures render
+the same picture as the reference.
 """
 
 import jax.numpy as jnp
@@ -10,30 +11,64 @@ import numpy as np
 
 from potato_tpu.core import noise
 
-
-def _numpy_noise_integer(x, y, z, seed):
-    A = np.uint64(0x899E43CF)
-    B = np.uint64(0xFDA3B07D)
-    C = np.uint64(0x4937E629)
-    D = np.uint64(0x4019D645)
-    h = (A * np.uint64(np.uint32(x)) + B * np.uint64(np.uint32(y))
-         + C * np.uint64(np.uint32(z)) + D * np.uint64(np.uint32(seed))) & np.uint64(0xFFFFFFFF)
-    hi = np.int64(np.int32(np.uint32(h)))
-    hi = (hi >> np.int64(13)) ^ hi
-    h = np.uint64(np.uint32(hi))
-    h = (h * ((h * h * np.uint64(60493) + np.uint64(19990303)) & np.uint64(0xFFFFFFFF))
-         + np.uint64(1376312589)) & np.uint64(0xFFFFFFFF)
-    return np.int32(np.uint32(h))
+_M64 = (1 << 64) - 1
 
 
-def test_noise_integer_matches_numpy_model():
+def _rust_noise_integer(x, y, z, seed):
+    """Pure-Python model of src/randomness.rs:91-105 (wrapping i64)."""
+    A = 0x369E6D3B899E43CF
+    B = 0x53F89E7FFDA3B07D
+    C = 0x3B13C1CA4937E629
+    D = 0x577C2C6E4019D645
+    x, y, z, seed = int(x), int(y), int(z), int(seed)
+
+    def u(v):  # two's-complement 64-bit view
+        return v & _M64
+
+    h = u(A * u(x) + B * u(y) + C * u(z) + D * u(seed))
+    hs = h - (1 << 64) if h >> 63 else h          # signed value
+    h = u((hs >> 13) ^ hs)                        # arithmetic shift + xor
+    h = u(h * u(h * h * 60493 + 19990303) + 1376312589)
+    return h - (1 << 64) if h >> 63 else h        # as signed i64
+
+
+def test_noise_i64_matches_rust_model_bit_for_bit():
     rng = np.random.default_rng(0)
-    pts = rng.integers(-1000, 1000, size=(256, 4))
-    got = np.asarray(noise.noise_integer(
+    pts = rng.integers(-100000, 100000, size=(256, 4))
+    lo, hi = noise.noise_i64(
+        jnp.asarray(pts[:, 0], jnp.int32), jnp.asarray(pts[:, 1], jnp.int32),
+        jnp.asarray(pts[:, 2], jnp.int32), jnp.asarray(pts[:, 3], jnp.int32))
+    got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(lo).astype(np.uint64)
+    want = np.array([_rust_noise_integer(*p) & _M64 for p in pts], np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_noise_i64_known_vectors():
+    """Hand-pinned values of the Rust hash (computed from the exact 64-bit
+    model above) — guards both implementations at once."""
+    cases = [
+        ((0, 0, 0, 0), 1376312589),
+        ((1, 0, 0, 0), _rust_noise_integer(1, 0, 0, 0)),
+        ((-1, 2, -3, 4), _rust_noise_integer(-1, 2, -3, 4)),
+    ]
+    for (x, y, z, s), want in cases:
+        lo, hi = noise.noise_i64(jnp.int32(x), jnp.int32(y), jnp.int32(z),
+                                 jnp.int32(s))
+        got = (int(hi) << 32) | int(lo)
+        got = got - (1 << 64) if got >> 63 else got
+        assert got == want, (x, y, z, s)
+
+
+def test_noise_real_matches_rust_in_f32():
+    rng = np.random.default_rng(1)
+    pts = rng.integers(-1000, 1000, size=(64, 4))
+    got = np.asarray(noise.noise_real(
         jnp.asarray(pts[:, 0], jnp.int32), jnp.asarray(pts[:, 1], jnp.int32),
         jnp.asarray(pts[:, 2], jnp.int32), jnp.asarray(pts[:, 3], jnp.int32)))
-    want = np.array([_numpy_noise_integer(*p) for p in pts], np.int32)
-    np.testing.assert_array_equal(got, want)
+    want = np.array([_rust_noise_integer(*p) / float(2**63 - 1) for p in pts],
+                    np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-7, atol=2e-7)
 
 
 def test_noise_real_range_and_determinism():

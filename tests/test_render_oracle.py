@@ -50,6 +50,31 @@ def test_three_balls_clustered_matches_oracle():
     _compare(examples.three_balls(), accel="cluster")
 
 
-@pytest.mark.slow
 def test_earth_matches_oracle():
+    # image-texture sphere (earthmap atlas gather)
     _compare(examples.earth(), accel="brute", size=16)
+
+
+def test_more_balls_matches_oracle():
+    # the 62x62 seeded random grid (example_scenes.rs:63-138), List accel
+    _compare(examples.more_balls(), accel="brute", size=12, max_bounce=3)
+
+
+def test_more_balls_optimized_matches_oracle():
+    # same scene through the clustered accel (example_scenes.rs:141-150)
+    _compare(examples.more_balls_optimized(), accel="cluster", size=12,
+             max_bounce=3)
+
+
+def test_bunny_matches_oracle():
+    # flagship scene: 4,968-tri mesh + metal ground + sky-sphere env
+    # (example_scenes.rs:309-350); clustered accel (the Pallas kernels are
+    # pinned against brute force in their own suites + the TPU smoke)
+    _compare(examples.bunny(), accel="cluster", size=16)
+
+
+@pytest.mark.slow
+def test_glass_bunny_matches_oracle():
+    # dielectric mesh: deep refraction paths (example_scenes.rs:265-306)
+    _compare(examples.glass_bunny(), accel="cluster", size=12, max_bounce=6,
+             mismatch_frac=0.01)

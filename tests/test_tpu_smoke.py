@@ -1,0 +1,111 @@
+"""TPU Mosaic-lowering smoke gate (VERDICT r1 item 3).
+
+Every Pallas intersector must *compile and execute* on the real chip, not
+just pass interpret-mode math tests — the round-1 flash SMEM BlockSpec
+regression passed 90/90 interpret-mode tests while breaking the bench.
+These tests are skipped off-TPU and run compiled (interpret=False) on TPU.
+
+The verify skill's drive recipe runs this file on hardware after any
+kernel change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="needs a real TPU (Mosaic lowering)")
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    from potato_tpu.scene.description import (
+        Absorb, Emit, Material, MeshData, Scatter, SceneBuilder,
+    )
+
+    s = SceneBuilder()
+    m = s.add_material(Material(Scatter.lambert(), Absorb.albedo(0.5, 0.5, 0.5),
+                                Emit.none()))
+    s.add_sphere((0.0, 0.0, -3.0), 1.0, m)
+    s.add_sphere((2.0, 0.0, -4.0), 0.5, m)
+    pos = np.asarray([[-1, -1, -2], [1, -1, -2], [0, 1, -2],
+                      [2, -1, -5], [4, -1, -5], [3, 1, -5]], np.float32)
+    mesh = MeshData(positions=pos,
+                    normals=np.tile([[0, 0, 1]], (6, 1)).astype(np.float32),
+                    uvs=np.zeros((6, 2), np.float32),
+                    indices=np.asarray([[0, 1, 2], [3, 4, 5]], np.int32))
+    s.add_mesh(mesh, m)
+    return s
+
+
+@pytest.fixture(scope="module")
+def rays():
+    n = 256
+    t = np.linspace(-1, 1, n).astype(np.float32)
+    from potato_tpu.core.types import RayBatch
+
+    return RayBatch(
+        origin=jnp.zeros((n, 3), jnp.float32),
+        direction=jnp.stack([jnp.asarray(t), jnp.zeros(n), -jnp.ones(n)],
+                            axis=1),
+        t_min=jnp.full((n,), 1e-3),
+        t_max=jnp.full((n,), 1e9),
+    )
+
+
+def _check(hit):
+    hit = jax.block_until_ready(hit)
+    assert bool(jnp.any(hit.valid))          # something was hit
+    assert bool(jnp.all(jnp.isfinite(hit.t[hit.valid])))
+
+
+def test_flash_compiles_on_tpu(small_scene, rays):
+    from potato_tpu.ops.flash import build_flash_accel, intersect_flash
+
+    scene = small_scene.build(accel="brute")
+    accel = build_flash_accel(scene.tables, scene.num_spheres,
+                              scene.num_triangles)
+    fn = jax.jit(lambda r: intersect_flash(accel, scene.tables, r,
+                                           interpret=False))
+    _check(fn(rays))
+
+
+def test_grouped_compiles_on_tpu(small_scene, rays):
+    from potato_tpu.ops.grouped import build_grouped_accel, intersect_grouped
+
+    scene = small_scene.build(accel="brute")
+    accel = build_grouped_accel(scene.tables, scene.num_spheres,
+                                scene.num_triangles)
+    fn = jax.jit(lambda r: intersect_grouped(accel, scene.tables, r,
+                                             interpret=False))
+    _check(fn(rays))
+
+
+def test_pallas_flat_compiles_on_tpu(small_scene, rays):
+    from potato_tpu.ops.pallas_intersect import (
+        build_pallas_accel, intersect_pallas,
+    )
+
+    scene = small_scene.build(accel="brute")
+    accel = build_pallas_accel(scene.tables, scene.num_spheres,
+                               scene.num_triangles)
+    fn = jax.jit(lambda r: intersect_pallas(accel, scene.tables, r,
+                                            interpret=False))
+    _check(fn(rays))
+
+
+def test_flash_matches_brute_on_tpu(small_scene, rays):
+    from potato_tpu.ops.flash import build_flash_accel, intersect_flash
+    from potato_tpu.ops.intersect import intersect_brute_force
+
+    scene = small_scene.build(accel="brute")
+    accel = build_flash_accel(scene.tables, scene.num_spheres,
+                              scene.num_triangles)
+    got = jax.jit(lambda r: intersect_flash(accel, scene.tables, r,
+                                            interpret=False))(rays)
+    want = jax.jit(lambda r: intersect_brute_force(scene.tables, r))(rays)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_allclose(np.asarray(got.t)[np.asarray(want.valid)],
+                               np.asarray(want.t)[np.asarray(want.valid)],
+                               rtol=1e-5)

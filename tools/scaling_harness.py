@@ -1,0 +1,147 @@
+"""Scaling-efficiency harness (BASELINE north star: >=85% at 4 hosts).
+
+Measures sharded-render throughput over 1/2/4/8 devices and writes
+EFFICIENCY.json. Two modes:
+
+  devices    one process, N virtual CPU devices (the standard JAX trick:
+             --xla_force_host_platform_device_count). Measures the
+             shard_map render path's scaling across a growing mesh.
+  procs      N separate OS processes, one CPU device each, joined with
+             jax.distributed.initialize over localhost — a faithful
+             multi-HOST simulation (separate runtimes, real cross-process
+             collectives), the closest a single machine gets to a pod.
+
+Usage:
+    python tools/scaling_harness.py                 # devices mode, 1..8
+    python tools/scaling_harness.py procs 4         # 4-process distributed
+    (worker invocation used internally:  _worker <n> <i> <port>)
+
+Efficiency(N) = rays_per_s(N) / (N * rays_per_s(1)). On a 2-core CI
+machine the CPU backend oversubscribes quickly, so the honest signal is
+"collective/sharding overhead stays low", not linear CPU speedup; on a pod
+each mesh axis member is a real chip and the same code path applies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WIDTH = HEIGHT = 64
+SPP = 8
+BOUNCE = 4
+SCENE = "three_balls"
+REPS = 3
+
+
+def _measure(n_devices: int) -> dict:
+    """Render the workload on an n-device mesh in this process."""
+    import jax
+    import jax.numpy as jnp
+
+    from potato_tpu.parallel import make_ray_mesh, make_sharded_render_fn
+    from potato_tpu.scene import examples
+
+    scene = examples.SCENES[SCENE]().build(accel="brute")
+    mesh = make_ray_mesh(num_devices=n_devices)
+    total = WIDTH * HEIGHT * SPP
+    ids = jnp.arange(total, dtype=jnp.uint32)
+
+    fn = make_sharded_render_fn(scene, mesh, width=WIDTH, height=HEIGHT,
+                                spp=SPP, max_bounce=BOUNCE, seed=0)
+    out = jax.block_until_ready(fn(scene.tables, scene.camera, ids))  # compile
+    segments = int(out.segments[0] if out.segments.ndim else out.segments)
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(scene.tables, scene.camera, ids))
+        best = min(best, time.perf_counter() - t0)
+    return {"devices": n_devices, "seconds": best,
+            "rays_per_s": segments / best, "segments": segments}
+
+
+def run_devices_mode():
+    """Subprocess per N so each run owns a cleanly-sized virtual topology."""
+    results = []
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={n}")
+        cmd = [sys.executable, os.path.abspath(__file__), "_measure", str(n)]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             cwd=REPO, timeout=1200)
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"measure {n} failed")
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(f"devices={n}: {results[-1]['rays_per_s']/1e6:.2f}M rays/s",
+              file=sys.stderr)
+    base = results[0]["rays_per_s"]
+    for r in results:
+        r["efficiency"] = r["rays_per_s"] / (r["devices"] * base)
+    return {"mode": "virtual-devices", "workload":
+            {"scene": SCENE, "width": WIDTH, "height": HEIGHT, "spp": SPP,
+             "max_bounce": BOUNCE}, "results": results}
+
+
+def run_procs_mode(n: int):
+    """N OS processes, one CPU device each, jax.distributed over localhost."""
+    port = 12391
+    procs = []
+    for i in range(n):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES=str(n),
+                   JAX_PROCESS_ID=str(i))
+        cmd = [sys.executable, os.path.abspath(__file__), "_worker", str(n), str(i)]
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO,
+            stdout=subprocess.PIPE if i == 0 else subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True))
+    out0, err0 = procs[0].communicate(timeout=1200)
+    rcs = [p.wait(timeout=1200) for p in procs]
+    if any(rcs):
+        print(err0[-2000:], file=sys.stderr)
+        raise SystemExit(f"proc mode rcs={rcs}")
+    result = json.loads(out0.strip().splitlines()[-1])
+    return {"mode": "multi-process", "results": [result]}
+
+
+def _worker(n: int, i: int):
+    from potato_tpu.parallel import distributed
+
+    distributed.initialize()
+    res = _measure(n)
+    res["process_id"] = i
+    res["num_processes"] = n
+    if i == 0:
+        print(json.dumps(res))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "_measure":
+        print(json.dumps(_measure(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "_worker":
+        _worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "procs":
+        report = run_procs_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    else:
+        report = run_devices_mode()
+    path = os.path.join(REPO, "EFFICIENCY.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
