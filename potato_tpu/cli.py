@@ -26,8 +26,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-bounce", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--accel",
-                   choices=["auto", "flash", "grouped", "pallas",
-                            "pallas_flat", "dense", "cluster", "brute"],
+                   choices=["auto", "flash", "pallas", "dense", "cluster",
+                            "brute"],
                    default="auto",
                    help="acceleration structure (auto = flash, the "
                         "supported Pallas path; see scene/tables.py)")

@@ -40,9 +40,14 @@ def make_render_loss(scene: CompiledScene, *, width: int, height: int,
     whole render is differentiated w.r.t. every param leaf."""
     for f in fields:
         assert f in DIFFERENTIABLE_FIELDS, f
+    # Optimizing m_scatter_param includes the dielectric IOR, whose
+    # reflect/refract Bernoulli choice is detached in the sampler — enable
+    # the score-function surrogate so the choice-probability gradient term
+    # is not silently dropped (diff/surrogate.py; forward images unchanged).
     chunk_fn = partial(render_chunk, intersect_fn=make_intersect_fn(scene),
                        width=width, height=height, spp=spp,
-                       max_bounce=max_bounce, seed=seed)
+                       max_bounce=max_bounce, seed=seed,
+                       ior_score="m_scatter_param" in fields)
 
     def loss(params: Dict[str, jnp.ndarray], ray_ids, target):
         """target is per-PIXEL (N, 3); ray_ids must cover whole pixels in

@@ -1,31 +1,31 @@
 """Flash intersector: streaming per-block closest-hit with O(1) epilogue.
 
-Third-generation TPU replacement for the reference's recursive BVH walk
-(src/bvh.rs:93-119), designed from profiling the earlier kernels on v5e:
+The TPU-shaped replacement for the reference's per-ray recursive BVH walk
+(src/bvh.rs:93-119). Pointer-chasing traversal is hostile to a vector
+machine, so the walk is split into two phases, each on the unit that is
+good at it:
 
-- ops/pallas_intersect.py walks every Morton cluster per ray block with a
-  per-cluster winner extraction (~10 extra VPU ops x cluster) and culls in
-  Morton order (no front-to-back shrink) -> 58 ms / 256k camera rays.
-- ops/grouped.py pays a per-visit winner extraction AND drains visits
-  through a scalar SMEM queue at 64-ray granularity -> 46 ms.
-
-This kernel keeps the two good ideas (XLA-built front-to-back cluster
-lists, group-level early termination) and removes both per-visit costs:
-
-1. **Queues in XLA, one list per 512-ray block.** The dense slab test of
-   all rays x all cluster AABBs (tavianator slab method,
-   src/utility.rs:137-155) reduces per block to a front-to-back list of
-   entered clusters — fully fused VPU work, no divergence. A retired block
-   (all lanes t_max < t_min) gets an empty list and costs nothing.
+1. **Queues in XLA, one list per 512-ray block.** Primitives are
+   median-split into clusters of 128 (LBVH leaves, the analogue of the
+   reference's recursive median split src/bvh.rs:36-67 cut off at
+   128-primitive leaves). The dense slab test of all rays x all cluster
+   AABBs (tavianator slab method, src/utility.rs:137-155) reduces per
+   block to a front-to-back list of entered clusters — fully fused VPU
+   work, no divergence. A retired block (all lanes t_max < t_min) gets an
+   empty list and costs nothing.
 2. **Per-lane-column running best.** Each visit updates a (512, 128)
    column-best (t, u, v, slot) with one compare + four selects — the
-   winner across columns is extracted ONCE per block, not per visit. The
-   per-visit epilogue is 5 ops instead of ~15.
+   winner across columns is extracted ONCE per block, not per visit.
 3. **Front-to-back early termination.** A per-ray running best t is
    maintained (one lane-reduce per visit); a visit whose entry t exceeds
    every live ray's best is skipped — the reference's t_max-shrinking
    ordered descent (src/bvh.rs:106-112) at block granularity. Because the
    list is sorted by entry t, one skip means all remaining visits skip.
+
+Two earlier kernel generations (a flat per-cluster walk and a 64-ray
+visit-queue kernel) were profiled on v5e at 58 ms and 46 ms per 256k
+camera rays respectively and superseded by this design; their unique
+pieces (cluster build, slab test, padding) live here now.
 
 The pair tests replicate ops/intersect.py bit-for-bit (same SMOL cutoff,
 same root selection) and are property-tested against brute force in
@@ -38,44 +38,211 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from potato_tpu.core.types import BIG, SMOL, HitBatch, RayBatch
-from potato_tpu.ops.grouped import (
-    K,
-    RAY_COLS,
-    _pad_queue_rows,
-    _pad_rays,
-    build_grouped_accel,
-    slab_test,
-)
 from potato_tpu.ops.intersect import sphere_hit_fields, triangle_hit_fields
 
 R = 512        # rays per block (one grid step)
+K = 128        # primitives per cluster (one lane tile)
+RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5)
 OUT_COLS = 8   # tri: t u v slot | sph: t slot | pad(2)
+TRI_FEATURES = 16     # n(3) a_x_ca(3) ca(3) ba_x_a(3) ba(3) a.n(1)
+SPH_FEATURES = 8      # c(3) |c|^2-r^2(1) valid(1)
 
 
 class FlashAccel(NamedTuple):
-    """Morton-clustered primitive tables (same layout as GroupedAccel)."""
+    """Morton-clustered primitive tables + cluster AABBs (device arrays)."""
 
-    tri_feats: jnp.ndarray    # (16, Ct*K) f32, cluster-ordered
+    tri_feats: jnp.ndarray    # (TRI_FEATURES, Ct*K) f32, cluster-ordered
     tri_perm: jnp.ndarray     # (Ct*K,) int32 packed slot -> original tri id
     tri_cmin: jnp.ndarray     # (Ct,3) f32 cluster AABBs
     tri_cmax: jnp.ndarray     # (Ct,3)
-    sph_feats: jnp.ndarray    # (8, Cs*K) f32, cluster-ordered
+    sph_feats: jnp.ndarray    # (SPH_FEATURES, Cs*K) f32, cluster-ordered
     sph_perm: jnp.ndarray     # (Cs*K,) int32
     sph_cmin: jnp.ndarray     # (Cs,3)
     sph_cmax: jnp.ndarray     # (Cs,3)
-    world_min: jnp.ndarray    # (3,)
+    world_min: jnp.ndarray    # (3,) f32 scene bounds
     world_max: jnp.ndarray    # (3,)
     num_triangles: int
     num_spheres: int
 
 
+def _morton_cluster(pmin: np.ndarray, pmax: np.ndarray):
+    """Median-split primitives into ceil(n/K) clusters of K; return
+    (order, pad, cmin, cmax).
+
+    The BVH-leaf analogue of the reference's recursive median split
+    (src/bvh.rs:36-67), cut off at K-primitive leaves: recursively split on
+    the longest centroid axis, giving each side a whole number of clusters.
+    Replaces plain Morton slicing (round 1), whose fixed-stride cuts of the
+    Z-curve left clusters ~2x looser — cluster tightness directly sets how
+    many clusters a ray enters, the kernel's unit of work.
+    """
+    n = pmin.shape[0]
+    centroid = (0.5 * (pmin + pmax)).astype(np.float32)
+    c = max((n + K - 1) // K, 1)
+
+    chunks = []
+
+    def split(idx: np.ndarray, nc: int):
+        if nc == 1:
+            chunks.append(idx)
+            return
+        cen = centroid[idx]
+        axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
+        left_c = nc // 2
+        k = left_c * K  # left side gets exactly left_c full clusters
+        part = np.argpartition(cen[:, axis], k)
+        split(idx[part[:k]], left_c)
+        split(idx[part[k:]], nc - left_c)
+
+    split(np.arange(n, dtype=np.int32), c)
+    order = np.concatenate(chunks).astype(np.int32)
+
+    pad = c * K - n
+    bmin = np.concatenate([pmin[order], np.full((pad, 3), np.inf, np.float32)])
+    bmax = np.concatenate([pmax[order], np.full((pad, 3), -np.inf, np.float32)])
+    cmin = np.nan_to_num(bmin.reshape(c, K, 3).min(axis=1), posinf=3e38)
+    cmax = np.nan_to_num(bmax.reshape(c, K, 3).max(axis=1), neginf=-3e38)
+    return order, pad, cmin.astype(np.float32), cmax.astype(np.float32)
+
+
 def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAccel:
-    """Same host-side Morton clustering as the grouped intersector."""
-    return FlashAccel(*build_grouped_accel(tables, num_spheres, num_triangles))
+    """Host-side (cold path) build, vectorized numpy — the LBVH analogue of
+    the reference's main-thread Bvh::new (src/bvh.rs:70-91)."""
+    # --- triangles ---
+    T = num_triangles
+    pa = np.asarray(tables.tri_pa, np.float64)[:T].reshape(-1, 3)
+    pb = np.asarray(tables.tri_pb, np.float64)[:T].reshape(-1, 3)
+    pc = np.asarray(tables.tri_pc, np.float64)[:T].reshape(-1, 3)
+    if T == 0:  # degenerate placeholder (never hit: n = 0 -> det 0)
+        pa = pb = pc = np.zeros((1, 3))
+        T = 1
+    tri_min = np.minimum(np.minimum(pa, pb), pc).astype(np.float32)
+    tri_max = np.maximum(np.maximum(pa, pb), pc).astype(np.float32)
+    order, pad, tri_cmin, tri_cmax = _morton_cluster(tri_min, tri_max)
+    tri_perm = np.concatenate([order, np.zeros(pad, np.int32)])
+
+    tp = tri_perm.shape[0]
+    tf = np.zeros((TRI_FEATURES, tp), np.float64)
+    pa_o, pb_o, pc_o = pa[order], pb[order], pc[order]
+    ba = pa_o - pb_o
+    ca = pa_o - pc_o
+    n = np.cross(ba, ca)
+    tf[0:3, :T] = n.T
+    tf[3:6, :T] = np.cross(pa_o, ca).T
+    tf[6:9, :T] = ca.T
+    tf[9:12, :T] = np.cross(ba, pa_o).T
+    tf[12:15, :T] = ba.T
+    tf[15, :T] = np.einsum("td,td->t", pa_o, n)
+    # padding slots keep n = 0 -> det 0 -> never valid
+
+    # --- spheres ---
+    S = num_spheres
+    c = np.asarray(tables.s_center, np.float64)[:S].reshape(-1, 3)
+    r = np.asarray(tables.s_radius, np.float64)[:S].reshape(-1)
+    if S == 0:
+        c = np.zeros((1, 3))
+        r = np.zeros((1,))
+        S = 1
+    r3 = np.abs(r)[:, None].astype(np.float32)
+    sorder, spad, sph_cmin, sph_cmax = _morton_cluster(
+        c.astype(np.float32) - r3, c.astype(np.float32) + r3)
+    sph_perm = np.concatenate([sorder, np.zeros(spad, np.int32)])
+    sp = sph_perm.shape[0]
+    sf = np.zeros((SPH_FEATURES, sp), np.float64)
+    c_o, r_o = c[sorder], r[sorder]
+    sf[0:3, :S] = c_o.T
+    sf[3, :S] = np.einsum("sd,sd->s", c_o, c_o) - r_o * r_o
+    sf[4, :S] = 1.0  # validity lane (pad spheres invalid)
+
+    # The kernel carries the winning primitive slot (cluster*K + lane) in an
+    # f32 scratch lane; slots above 2^24 are not exactly representable and
+    # would silently shade the wrong primitive.
+    if tri_perm.shape[0] >= (1 << 24) or sph_perm.shape[0] >= (1 << 24):
+        raise ValueError(
+            "flash intersector carries primitive slots in f32: "
+            f"padded counts (tris {tri_perm.shape[0]}, spheres "
+            f"{sph_perm.shape[0]}) must stay below 2^24")
+
+    wmin = np.minimum(tri_cmin.min(0), sph_cmin.min(0))
+    wmax = np.maximum(tri_cmax.max(0), sph_cmax.max(0))
+
+    return FlashAccel(
+        tri_feats=jnp.asarray(tf, jnp.float32),
+        tri_perm=jnp.asarray(tri_perm),
+        tri_cmin=jnp.asarray(tri_cmin), tri_cmax=jnp.asarray(tri_cmax),
+        sph_feats=jnp.asarray(sf, jnp.float32),
+        sph_perm=jnp.asarray(sph_perm),
+        sph_cmin=jnp.asarray(sph_cmin), sph_cmax=jnp.asarray(sph_cmax),
+        world_min=jnp.asarray(np.nan_to_num(wmin, posinf=0.0), jnp.float32),
+        world_max=jnp.asarray(np.nan_to_num(wmax, neginf=1.0), jnp.float32),
+        num_triangles=num_triangles, num_spheres=num_spheres,
+    )
+
+
+def slab_test(rays: RayBatch, cmin, cmax):
+    """Dense slab test of every ray against every cluster AABB.
+
+    The tavianator method of src/utility.rs:137-155, vectorized over the
+    full (rays x clusters) grid. Unrolls the 3 axes so every intermediate
+    is a lane-friendly (B, C) tile: per-ray scalars broadcast down
+    sublanes, per-cluster bounds across lanes. (A (B, C, 3) formulation
+    puts the reduction on a 3-wide lane dim — catastrophic layout on TPU.)
+
+    NaN-robust: a zero direction component with the origin exactly on a
+    cluster bound yields 0 * inf = NaN; such an axis is treated as
+    non-constraining (cluster kept), matching the reference's
+    NaN-ignoring Rust f64::min/max. Conservative — an extra visit is
+    allowed, a missed hit is not.
+
+    Returns (entered (B, C) bool, lo (B, C) f32 entry distance).
+    """
+    b = rays.origin.shape[0]
+    c = cmin.shape[0]
+    lo = jnp.broadcast_to(rays.t_min[:, None], (b, c))
+    hi = jnp.broadcast_to(rays.t_max[:, None], (b, c))
+    for a in range(3):
+        inv_d = (1.0 / rays.direction[:, a])[:, None]      # (B, 1)
+        oa = rays.origin[:, a][:, None]
+        t0 = (cmin[None, :, a] - oa) * inv_d               # (B, C)
+        t1 = (cmax[None, :, a] - oa) * inv_d
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        lo = jnp.maximum(lo, jnp.where(jnp.isnan(near), -jnp.inf, near))
+        hi = jnp.minimum(hi, jnp.where(jnp.isnan(far), jnp.inf, far))
+    return hi >= lo, lo
+
+
+def _pad_rays(rays: RayBatch, block: int):
+    b = rays.origin.shape[0]
+    bp = ((b + block - 1) // block) * block
+    if bp == b:
+        return rays, b
+    pad = bp - b
+
+    def padf(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    return RayBatch(
+        origin=padf(rays.origin, 0.0),
+        direction=padf(rays.direction, 1.0),
+        t_min=padf(rays.t_min, 0.0),
+        t_max=padf(rays.t_max, -1.0),  # t_max < t_min: pad rays hit nothing
+    ), b
+
+
+def _pad_queue_rows(arrs, s):
+    """Pad the step axis to a multiple of 8 (SMEM blocks carry 8 rows)."""
+    sp = ((s + 7) // 8) * 8
+    if sp == s:
+        return arrs
+    return [jnp.concatenate(
+        [a, jnp.zeros((sp - s,) + a.shape[1:], a.dtype)]) for a in arrs]
 
 
 def build_block_queue(rays: RayBatch, cmin, cmax, block: int = R):
@@ -126,6 +293,66 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
     lane_f = lane.astype(jnp.float32)
 
+    # ---------------- sphere phase (first) ----------------
+    # Spheres run before triangles so every lane's sphere hit bounds the
+    # triangle walk: a tile of rays that all hit the ground sphere skips
+    # every triangle cluster behind it (the reference's t_max-shrinking
+    # ordered descent, src/bvh.rs:106-112, across primitive types).
+    colt[:] = jnp.full((R, K), BIG, jnp.float32)
+    cols[:] = jnp.zeros((R, K), jnp.float32)
+    rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
+
+    def sph_body(j, _):
+        far = jnp.max(jnp.minimum(rbest[:], t_max))
+
+        @pl.when(sentry_ref[row, j] < far)
+        def _():
+            ci = scodes_ref[row, j]
+            sl = pl.ds(pl.multiple_of(ci * K, K), K)
+            cx = sph_ref[0:1, sl]
+            cy = sph_ref[1:2, sl]
+            cz = sph_ref[2:3, sl]
+            cc = sph_ref[3:4, sl]
+            ok_lane = sph_ref[4:5, sl]
+
+            # half-b quadratic, two-root select (src/hittable.rs:39-63)
+            a_coef = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a_coef
+            o2 = ox * ox + oy * oy + oz * oz
+            d_o = dx * ox + dy * oy + dz * oz
+            half_b = d_o - (dx * cx + dy * cy + dz * cz)
+            c_coef = o2 - 2.0 * (ox * cx + oy * cy + oz * cz) + cc
+            delta = half_b * half_b - a_coef * c_coef
+            sph_ok = (delta > 0.0) & (ok_lane > 0.5)
+            sqrt_delta = jnp.sqrt(jnp.where(sph_ok, delta, 1.0))
+            tt0 = (-half_b - sqrt_delta) * inv_a
+            tt1 = (-half_b + sqrt_delta) * inv_a
+            t0_ok = (tt0 >= t_min) & (tt0 <= t_max)
+            t1_ok = (tt1 >= t_min) & (tt1 <= t_max)
+            st = jnp.where(t0_ok, tt0, tt1)
+            valid = sph_ok & (t0_ok | t1_ok)
+            key = jnp.where(valid, st, BIG)
+
+            improve = key < colt[:]
+            colt[:] = jnp.where(improve, key, colt[:])
+            cols[:] = jnp.where(improve, ci * K + lane_f, cols[:])
+            rbest[:] = jnp.minimum(rbest[:],
+                                   jnp.min(key, axis=1, keepdims=True))
+
+        return 0
+
+    jax.lax.fori_loop(0, sn_ref[row, 0], sph_body, 0)
+
+    sph_t = rbest[:]
+    at_min = colt[:] == sph_t
+    win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
+                  axis=1, keepdims=True)
+    mask = at_min & (lane == win)
+    out_ref[:, 4:5] = sph_t
+    out_ref[:, 5:6] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
+                              keepdims=True)
+    out_ref[:, 6:8] = jnp.zeros((R, 2), jnp.float32)
+
     # ---------------- triangle phase ----------------
     colt[:] = jnp.full((R, K), BIG, jnp.float32)
     colu[:] = jnp.zeros((R, K), jnp.float32)
@@ -134,9 +361,10 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
 
     def tri_body(j, _):
-        # early termination: skip once every live lane's best hit precedes
-        # this cluster's entry (list is front-to-back sorted)
-        far = jnp.max(jnp.minimum(rbest[:], t_max))
+        # early termination: skip once every live lane's best hit (its
+        # sphere hit included) precedes this cluster's entry (list is
+        # front-to-back sorted)
+        far = jnp.max(jnp.minimum(jnp.minimum(rbest[:], sph_t), t_max))
 
         @pl.when(tentry_ref[row, j] < far)
         def _():
@@ -203,63 +431,6 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     out_ref[:, 2:3] = jnp.sum(jnp.where(mask, colv[:], 0.0), axis=1,
                               keepdims=True)
     out_ref[:, 3:4] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
-                              keepdims=True)
-    out_ref[:, 6:8] = jnp.zeros((R, 2), jnp.float32)
-
-    # ---------------- sphere phase ----------------
-    colt[:] = jnp.full((R, K), BIG, jnp.float32)
-    cols[:] = jnp.zeros((R, K), jnp.float32)
-    rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
-
-    def sph_body(j, _):
-        # a sphere cluster is also dead once the TRIANGLE hit is closer
-        far = jnp.max(jnp.minimum(jnp.minimum(rbest[:], tri_t), t_max))
-
-        @pl.when(sentry_ref[row, j] < far)
-        def _():
-            ci = scodes_ref[row, j]
-            sl = pl.ds(pl.multiple_of(ci * K, K), K)
-            cx = sph_ref[0:1, sl]
-            cy = sph_ref[1:2, sl]
-            cz = sph_ref[2:3, sl]
-            cc = sph_ref[3:4, sl]
-            ok_lane = sph_ref[4:5, sl]
-
-            # half-b quadratic, two-root select (src/hittable.rs:39-63)
-            a_coef = dx * dx + dy * dy + dz * dz
-            inv_a = 1.0 / a_coef
-            o2 = ox * ox + oy * oy + oz * oz
-            d_o = dx * ox + dy * oy + dz * oz
-            half_b = d_o - (dx * cx + dy * cy + dz * cz)
-            c_coef = o2 - 2.0 * (ox * cx + oy * cy + oz * cz) + cc
-            delta = half_b * half_b - a_coef * c_coef
-            sph_ok = (delta > 0.0) & (ok_lane > 0.5)
-            sqrt_delta = jnp.sqrt(jnp.where(sph_ok, delta, 1.0))
-            tt0 = (-half_b - sqrt_delta) * inv_a
-            tt1 = (-half_b + sqrt_delta) * inv_a
-            t0_ok = (tt0 >= t_min) & (tt0 <= t_max)
-            t1_ok = (tt1 >= t_min) & (tt1 <= t_max)
-            st = jnp.where(t0_ok, tt0, tt1)
-            valid = sph_ok & (t0_ok | t1_ok)
-            key = jnp.where(valid, st, BIG)
-
-            improve = key < colt[:]
-            colt[:] = jnp.where(improve, key, colt[:])
-            cols[:] = jnp.where(improve, ci * K + lane_f, cols[:])
-            rbest[:] = jnp.minimum(rbest[:],
-                                   jnp.min(key, axis=1, keepdims=True))
-
-        return 0
-
-    jax.lax.fori_loop(0, sn_ref[row, 0], sph_body, 0)
-
-    sph_t = rbest[:]
-    at_min = colt[:] == sph_t
-    win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
-                  axis=1, keepdims=True)
-    mask = at_min & (lane == win)
-    out_ref[:, 4:5] = sph_t
-    out_ref[:, 5:6] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
                               keepdims=True)
 
 

@@ -43,7 +43,8 @@ class TraceResult(NamedTuple):
 
 def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
                 max_bounce: int, seed, features=None,
-                early_exit: bool = False) -> TraceResult:
+                early_exit: bool = False, live=None,
+                ior_score: bool = False) -> TraceResult:
     """Trace a batch of camera rays to completion.
 
     intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
@@ -56,6 +57,16 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
     instead of lax.scan). Bit-identical output — skipped bounces contribute
     exactly zero — but while_loop is not reverse-mode differentiable, so
     gradient paths keep the scan (default).
+
+    live: optional (B,) bool — lanes born dead (padding in a fixed-shape
+    chunk) trace nothing, contribute nothing, and are excluded from the
+    segments counter.
+
+    ior_score: fold the score-function surrogate weight for the
+    dielectric's reflect/refract Bernoulli into throughput
+    (diff/surrogate.py) so d(image)/d(IOR) includes the choice-probability
+    term. Forward images are bit-identical (the weight's value is 1);
+    enable when optimizing m_scatter_param through a render.
     """
     b = ray_ids.shape
     ray_ids = ray_ids.astype(jnp.uint32)
@@ -84,12 +95,17 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
     # inside and outside shard_map.
     zb = rays.t_min * 0.0                      # (B,) varying zeros
     zb3 = zb[..., None] + jnp.zeros(3, jnp.float32)
+    active0 = (zb == 0.0) if live is None else ((zb == 0.0) & live)
+    if live is not None:
+        # dead-born lanes carry an inert ray (t_max < t_min) so the
+        # kernels' block-level dead-lane culling skips them entirely
+        rays = rays._replace(t_max=jnp.where(live, rays.t_max, zb - 1.0))
 
     init = State(
         rays=rays,
         radiance=zb3,
         throughput=zb3 + 1.0,
-        active=zb == 0.0,
+        active=active0,
         aov_normal=zb3,
         aov_hit=zb > 0.0,
         segments=jnp.sum(zb).astype(jnp.int32),
@@ -119,7 +135,8 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         u4, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_ids)
 
         mat = eval_material(tables, hit.material, state.rays.direction, hit,
-                            u1, u2, u3, u4, features=features)
+                            u1, u2, u3, u4, features=features,
+                            ior_score=ior_score)
         bg = background_radiance(state.rays.direction)
 
         contrib = jnp.where(hit.valid[..., None], mat.emit, bg)
@@ -142,8 +159,8 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         # the origin: without this, the BIG-t miss position (~3e38) overflows
         # to inf/NaN in the next bounce's quadratics, and NaN survives the
         # contribution mask (NaN * 0 = NaN).
-        # Retired lanes are marked dead via t_max = -1 < t_min: the grouped
-        # intersectors' per-block cluster culling then skips them entirely
+        # Retired lanes are marked dead via t_max = -1 < t_min: the flash
+        # intersector's per-block cluster culling then skips them entirely
         # (a block of only dead lanes does no primitive work).
         zb_ = state.rays.t_min * 0.0  # varying-typed zeros (see init note)
         next_rays = RayBatch(

@@ -42,11 +42,18 @@ class RenderOutput:
 
 
 def make_intersect_fn(scene: CompiledScene):
-    """Pick the acceleration entry point compiled into the render fn."""
+    """Pick the acceleration entry point compiled into the render fn.
+
+    Note on ray sorting: a live-first, Morton-cell + direction-octant sort
+    of rays before intersection (packing coherent rays into the same kernel
+    blocks) was implemented and profiled on v5e; the ~21 permute-gathers
+    per bounce (~0.3 ms each at the TPU's ~1 elem/cycle gather rate) cost
+    more than the cluster-list sharing they bought, so it was removed. The
+    per-block cluster selection already adapts to incoherent rays, and
+    camera order itself is pixel-coherent.
+    """
     from potato_tpu.ops.dense import DenseAccel, intersect_dense
     from potato_tpu.ops.flash import FlashAccel, intersect_flash
-    from potato_tpu.ops.grouped import GroupedAccel, intersect_grouped
-    from potato_tpu.ops.pallas_intersect import PallasAccel, intersect_pallas
     from potato_tpu.scene.bvh import ClusterAccel
 
     accel = scene.accel
@@ -55,12 +62,6 @@ def make_intersect_fn(scene: CompiledScene):
     if isinstance(accel, FlashAccel):
         return lambda tables, rays: intersect_flash(accel, tables, rays,
                                                     interpret=interp)
-    if isinstance(accel, GroupedAccel):
-        return lambda tables, rays: intersect_grouped(accel, tables, rays,
-                                                      interpret=interp)
-    if isinstance(accel, PallasAccel):
-        return lambda tables, rays: intersect_pallas(accel, tables, rays,
-                                                     interpret=interp)
     if isinstance(accel, DenseAccel):
         return lambda tables, rays: intersect_dense(accel, tables, rays)
     if isinstance(accel, ClusterAccel):
@@ -68,58 +69,63 @@ def make_intersect_fn(scene: CompiledScene):
     return intersect_brute_force
 
 
-def coherent_intersect(intersect_fn, world_min, world_max):
-    """Wrap an intersector with live-first, spatially-coherent ray ordering.
+TILE_W, TILE_H = 16, 8   # pixels per ray-order tile (x spp rays)
 
-    The grouped kernels cull clusters per 64-ray *group*, so a group's cost
-    is the union of its lanes' cluster lists. Sorting rays by (retired,
-    origin Morton cell, direction octant) packs similar rays into the same
-    groups: dead lanes collapse into groups that visit nothing, and
-    coherent lanes share cluster visits. Origin locality leads the key —
-    after a bounce it is the hit position, not the direction, that decides
-    which clusters a ray can enter. Per-ray hits are order-independent, so
-    the image is bit-identical with or without this wrapper.
+
+def _tiles_apply(width: int, height: int) -> bool:
+    return width % TILE_W == 0 and height % TILE_H == 0
+
+
+def tile_swizzle_ids(lin, width: int, spp: int):
+    """Permute the linear ray order so consecutive ids cover a compact
+    TILE_W x TILE_H pixel tile (x spp samples) instead of a 1-pixel-high
+    scanline strip.
+
+    The flash kernel builds one cluster list per 512 consecutive rays; a
+    tile's list is the union over a compact screen patch (the reference's
+    32x32 tiles, src/main.rs:36, serve the same locality role for its
+    per-thread BVH walks) instead of a width-spanning strip — measured ~2x
+    fewer cluster visits on the bunny bench. Pure permutation: each ray's
+    RNG and pixel assignment are functions of the *physical* id, so the
+    rendered image is bit-identical to scanline order after unpermuting.
     """
-    extent = jnp.maximum(world_max - world_min, 1e-9)
+    lin = lin.astype(jnp.uint32)
+    tile = jnp.uint32(TILE_W * TILE_H * spp)
+    t_idx = lin // tile
+    within = lin % tile
+    pix = within // jnp.uint32(spp)
+    sample = within % jnp.uint32(spp)
+    tiles_x = jnp.uint32(width // TILE_W)
+    px = (t_idx % tiles_x) * TILE_W + pix % jnp.uint32(TILE_W)
+    py = (t_idx // tiles_x) * TILE_H + pix // jnp.uint32(TILE_W)
+    return (py * jnp.uint32(width) + px) * jnp.uint32(spp) + sample
 
-    def wrapped(tables, rays):
-        live = rays.t_max >= rays.t_min
-        d = rays.direction
-        octant = ((d[..., 0] < 0).astype(jnp.int32)
-                  + 2 * (d[..., 1] < 0).astype(jnp.int32)
-                  + 4 * (d[..., 2] < 0).astype(jnp.int32))
-        q = jnp.clip((rays.origin - world_min) / extent * 64.0,
-                     0.0, 63.0).astype(jnp.int32)
 
-        def spread(x):  # 6-bit Morton interleave (scene/bvh.py, 6-bit form)
-            x = (x | (x << 10)) & 0x0300F00F
-            x = (x | (x << 4)) & 0x030C30C3
-            x = (x | (x << 2)) & 0x09249249
-            return x
-
-        cell = ((spread(q[..., 0]) << 2) | (spread(q[..., 1]) << 1)
-                | spread(q[..., 2]))
-        key = jnp.where(live, (cell << 3) | octant, jnp.int32(1 << 30))
-        perm = jnp.argsort(key, stable=True)
-        sorted_rays = jax.tree_util.tree_map(lambda a: a[perm], rays)
-        hit = intersect_fn(tables, sorted_rays)
-        inv = jnp.argsort(perm)
-        return jax.tree_util.tree_map(lambda a: a[inv], hit)
-
-    return wrapped
+def tile_unswizzle_perm(width: int, height: int, spp: int) -> np.ndarray:
+    """Host-side: physical ray id for each raw (traversal-order) row."""
+    lin = np.arange(width * height * spp, dtype=np.uint64)
+    tile = TILE_W * TILE_H * spp
+    t_idx, within = lin // tile, lin % tile
+    pix, sample = within // spp, within % spp
+    tiles_x = width // TILE_W
+    px = (t_idx % tiles_x) * TILE_W + pix % TILE_W
+    py = (t_idx // tiles_x) * TILE_H + pix // TILE_W
+    return ((py * width + px) * spp + sample).astype(np.int64)
 
 
 def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  spp, max_bounce, seed, features=None,
-                 early_exit: bool = False) -> TraceResult:
+                 early_exit: bool = False, live=None,
+                 ior_score: bool = False) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
     rays = generate_rays(camera, width, height, spp, ray_ids, seed)
     return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed,
-                       features=features, early_exit=early_exit)
+                       features=features, early_exit=early_exit, live=live,
+                       ior_score=ior_score)
 
 
 def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
-                    max_bounce: int, chunk_size: int, sort_rays: bool,
+                    max_bounce: int, chunk_size: int,
                     per_chunk: bool = False):
     """One jitted function rendering ALL chunks of a frame in one dispatch.
 
@@ -131,18 +137,23 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
     (tables, camera, seed, start) -> TraceResult, dispatched once per chunk
     by the caller — the progress-reporting path."""
     intersect_fn = make_intersect_fn(scene)
-    if sort_rays:
-        intersect_fn = coherent_intersect(intersect_fn, scene.accel.world_min,
-                                          scene.accel.world_max)
     total = width * height * spp
+    tiles = _tiles_apply(width, height)
 
     def one_chunk(tables, camera, seed, start):
-        ids = (jax.lax.iota(jnp.uint32, chunk_size) + start) % jnp.uint32(total)
+        # The tail chunk's lanes beyond `total` are born dead (live=False):
+        # they trace zero segments (the kernels' dead-lane culling skips
+        # them) and are excluded from the segments counter, so the bench
+        # numerator counts each frame ray exactly once.
+        raw = jax.lax.iota(jnp.uint32, chunk_size) + start
+        lin = raw % jnp.uint32(total)
+        ids = tile_swizzle_ids(lin, width, spp) if tiles else lin
         return render_chunk(tables, camera, ids,
                             intersect_fn=intersect_fn, width=width,
                             height=height, spp=spp,
                             max_bounce=max_bounce, seed=seed,
-                            features=scene.features, early_exit=True)
+                            features=scene.features, early_exit=True,
+                            live=raw < jnp.uint32(total))
 
     if per_chunk:
         return jax.jit(one_chunk)
@@ -168,11 +179,11 @@ def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
         chunk_size = min(total, 1 << 18)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
-    key = (width, height, spp, max_bounce, chunk_size, False, False)
+    key = (width, height, spp, max_bounce, chunk_size, False)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, sort_rays=False)
+                                   chunk_size)
         scene.fn_cache[key] = frame_fn
     starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
     return frame_fn, starts
@@ -182,68 +193,117 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
            max_bounce: int = 8, seed: int = 0,
            chunk_size: Optional[int] = None,
            progress: bool = False,
-           with_aovs: bool = True) -> RenderOutput:
+           with_aovs: bool = True,
+           checkpoint_path: Optional[str] = None,
+           checkpoint_every: int = 1) -> RenderOutput:
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
     src/main.rs:13-32).
 
     with_aovs controls only which buffers are fetched to the host.
+
+    checkpoint_path: running-image checkpoint for long renders (the
+    subsystem the reference lacks: its tiles are completed-or-lost,
+    src/main.rs:100-122, SURVEY.md §5). Completed chunks are saved every
+    `checkpoint_every` chunks (atomic write-then-rename); a rerun with the
+    same arguments resumes after the last saved chunk and — because every
+    ray's randomness is a pure function of (seed, ray id) — produces a
+    final image bit-identical to an uninterrupted render. Implies
+    per-chunk dispatch (the progress path).
     """
     total = width * height * spp
     if chunk_size is None:
         chunk_size = min(total, 1 << 18)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
+    per_chunk = progress or checkpoint_path is not None
 
-    # Ray sorting (coherent_intersect) is off by default: profiling on v5e
-    # shows the ~21 permute-gathers per bounce (~0.3 ms each at the TPU's
-    # ~1 elem/cycle gather rate) cost more than the cluster-list sharing
-    # they buy. The per-ray cluster selection already adapts to incoherent
-    # rays, and camera order itself is pixel-coherent.
-    sort_rays = False
-    key = (width, height, spp, max_bounce, chunk_size, sort_rays, progress)
+    key = (width, height, spp, max_bounce, chunk_size, per_chunk)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, sort_rays, per_chunk=progress)
+                                   chunk_size, per_chunk=per_chunk)
         scene.fn_cache[key] = frame_fn
 
-    # fixed chunk shape: the tail chunk wraps around (duplicate work on
-    # <1 chunk of rays, zero recompilation)
+    # fixed chunk shape: the tail chunk's out-of-range lanes are born dead
+    # (zero traced segments, excluded from the counter)
     starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
-    if progress:
+    if per_chunk:
         # per-chunk dispatch + a progress line per completed chunk — the
         # reference's per-tile indicatif bar (src/main.rs:37,92). Costs one
         # dispatch round trip per chunk; progress=False renders the whole
         # frame in a single dispatch.
+        import os
         import sys
 
+        # the checkpoint is only valid for an identical render request
+        signature = np.asarray([width, height, spp, max_bounce, seed,
+                                chunk_size], np.int64)
         chunks = []
-        for i in range(num_chunks):
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            ckpt = np.load(checkpoint_path)
+            if np.array_equal(ckpt["signature"], signature):
+                for i in range(int(ckpt["chunks_done"])):
+                    chunks.append(TraceResult(
+                        color=ckpt["color"][i],
+                        aov_normal=ckpt["aov_normal"][i],
+                        aov_hit=ckpt["aov_hit"][i],
+                        segments=ckpt["segments"][i]))
+                if progress and chunks:
+                    print(f"[resumed at chunk {len(chunks)}/{num_chunks}]",
+                          file=sys.stderr, flush=True)
+
+        def save_checkpoint():
+            host = [jax.tree_util.tree_map(np.asarray, c) for c in chunks]
+            tmp = checkpoint_path + ".tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, signature=signature, chunks_done=len(host),
+                         color=np.stack([c.color for c in host]),
+                         aov_normal=np.stack([c.aov_normal for c in host]),
+                         aov_hit=np.stack([c.aov_hit for c in host]),
+                         segments=np.stack([c.segments for c in host]))
+            os.replace(tmp, checkpoint_path)  # atomic: never a torn file
+
+        for i in range(len(chunks), num_chunks):
             chunks.append(jax.block_until_ready(frame_fn(
                 scene.tables, scene.camera, jnp.asarray(seed, jnp.uint32),
                 starts[i])))
-            done = min((i + 1) * chunk_size, total)
-            print(f"\r[{done}/{total} rays, chunk {i + 1}/{num_chunks}]",
-                  end="" if i + 1 < num_chunks else "\n",
-                  file=sys.stderr, flush=True)
+            if checkpoint_path and ((i + 1) % checkpoint_every == 0
+                                    or i + 1 == num_chunks):
+                save_checkpoint()
+            if progress:
+                done = min((i + 1) * chunk_size, total)
+                print(f"\r[{done}/{total} rays, chunk {i + 1}/{num_chunks}]",
+                      end="" if i + 1 < num_chunks else "\n",
+                      file=sys.stderr, flush=True)
         out = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunks)
     else:
         out = frame_fn(scene.tables, scene.camera,
                        jnp.asarray(seed, jnp.uint32), starts)
 
+    # rows come back in traversal order; under tile swizzle, scatter them
+    # to their physical (pixel, sample) slots before the spp average
+    if _tiles_apply(width, height):
+        perm = tile_unswizzle_perm(width, height, spp)
+
+        def unswizzle(rows):
+            flat = np.empty_like(rows)
+            flat[perm] = rows
+            return flat
+    else:
+        def unswizzle(rows):
+            return rows
+
     # spp average (reference main.rs:88-90) on device: the host fetch is a
     # quarter the bytes (and remote-attached chips pay real transfer cost)
-    color = np.asarray(
-        out.color.reshape(-1, 3)[:total].reshape(height, width, spp, 3)
-        .mean(axis=2))
+    color = unswizzle(np.asarray(out.color.reshape(-1, 3)[:total])) \
+        .reshape(height, width, spp, 3).mean(axis=2)
     segments = int(np.asarray(jnp.sum(out.segments)))
     if with_aovs:
-        normal = np.asarray(
-            out.aov_normal.reshape(-1, 3)[:total]
-            .reshape(height, width, spp, 3).mean(axis=2))
-        coverage = np.asarray(
-            out.aov_hit.reshape(-1)[:total].astype(jnp.float32)
-            .reshape(height, width, spp).mean(axis=2))
+        normal = unswizzle(np.asarray(out.aov_normal.reshape(-1, 3)[:total])) \
+            .reshape(height, width, spp, 3).mean(axis=2)
+        coverage = unswizzle(
+            np.asarray(out.aov_hit.reshape(-1)[:total].astype(jnp.float32))) \
+            .reshape(height, width, spp).mean(axis=2)
     else:
         normal = np.zeros_like(color)
         coverage = np.zeros(color.shape[:2], np.float32)

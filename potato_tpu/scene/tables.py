@@ -255,12 +255,10 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
     )
 
     # Acceleration choice:
-    # - "flash" (= "auto"): the supported Pallas path — XLA-built
+    # - "flash" (= "auto", = "pallas"): the one Pallas path — XLA-built
     #   front-to-back cluster queues + streaming per-block closest hit
-    #   (ops/flash.py)
-    # - "grouped": previous-generation Pallas kernel, 64-ray visit queues
-    # - "pallas": ALIAS for "flash" since round 1 (it used to build the
-    #   grouped accel; "pallas_flat" reaches the original PallasAccel)
+    #   (ops/flash.py; two earlier kernel generations were consolidated
+    #   into it, see its module docstring)
     # - "dense": MXU matmul brute force (ops/dense.py rationale)
     # - "cluster": Morton-cluster two-level accel with per-lane traversal
     # - "brute": plain VPU brute force, the List-semantics oracle
@@ -269,14 +267,6 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
         from potato_tpu.ops.flash import build_flash_accel
 
         accel_struct = build_flash_accel(tables, ns, ntr)
-    elif accel == "grouped":
-        from potato_tpu.ops.grouped import build_grouped_accel
-
-        accel_struct = build_grouped_accel(tables, ns, ntr)
-    elif accel == "pallas_flat":
-        from potato_tpu.ops.pallas_intersect import build_pallas_accel
-
-        accel_struct = build_pallas_accel(tables, ns, ntr)
     elif accel == "dense":
         from potato_tpu.ops.dense import build_dense_accel
 

@@ -87,52 +87,70 @@ def shoot(scene: ScalarScene, width, height, spp, ray_id, seed):
 
 
 def hit_scene(scene: ScalarScene, origin, direction, t_min, t_max):
-    """Brute-force closest hit; returns dict or None."""
-    best = None
+    """Brute-force closest hit; returns dict or None.
+
+    Semantically the reference's `hit_list` (src/hittable.rs:110-120): a
+    scan over spheres then triangles with t_max shrinking per accepted hit
+    (so a later primitive wins exact-t ties). The per-primitive tests are
+    vectorized over the primitive axis in f64 numpy — the arithmetic per
+    primitive is unchanged from the scalar loop, only evaluated as arrays;
+    the shrinking-scan semantics are reproduced exactly by taking the LAST
+    index that attains the minimum accepted t.
+    """
     t = scene.t
-    for s in range(scene.ns):
-        c = t["s_center"][s]
-        r = t["s_radius"][s]
-        oc = origin - c
-        a = direction @ direction
-        half_b = direction @ oc
-        cc = oc @ oc - r * r
-        delta = half_b * half_b - a * cc
-        if delta <= 0:
-            continue
-        sq = np.sqrt(delta)
-        tt = (-half_b - sq) / a
-        if tt < t_min or tt > t_max:
-            tt = (-half_b + sq) / a
-            if tt < t_min or tt > t_max:
-                continue
-        pos = origin + tt * direction
-        n = (pos - c) / r
-        best = dict(t=tt, position=pos, normal=n, uv=_equirect_uv(n),
-                    material=int(t["s_material"][s]))
-        t_max = tt
-    for k in range(scene.ntr):
-        a3 = t["tri_pa"][k]
-        b3 = t["tri_pb"][k]
-        c3 = t["tri_pc"][k]
-        ba, ca, pa = a3 - b3, a3 - c3, a3 - origin
-        det = ba @ np.cross(ca, direction)
-        if abs(det) < SMOL:
-            continue
-        inv = 1.0 / det
-        tt = (pa @ np.cross(ba, ca)) * inv
-        u = (pa @ np.cross(ca, direction)) * inv
-        v = (direction @ np.cross(ba, pa)) * inv
-        w = 1.0 - u - v
-        if tt < t_min or tt > t_max or u < 0 or v < 0 or w < 0:
-            continue
-        pos = origin + tt * direction
-        n = w * t["tri_na"][k] + u * t["tri_nb"][k] + v * t["tri_nc"][k]
-        uv = w * t["tri_ua"][k] + u * t["tri_ub"][k] + v * t["tri_uc"][k]
-        best = dict(t=tt, position=pos, normal=n, uv=uv,
-                    material=int(t["tri_material"][k]))
-        t_max = tt
-    return best
+    o = origin.astype(np.float64)
+    d = direction.astype(np.float64)
+
+    # --- spheres (half-b quadratic, two-root select, src/hittable.rs:39-63)
+    c = t["s_center"][:scene.ns].astype(np.float64)
+    r = t["s_radius"][:scene.ns].astype(np.float64)
+    oc = o[None, :] - c
+    a = d @ d
+    half_b = oc @ d
+    cc = np.einsum("ij,ij->i", oc, oc) - r * r
+    delta = half_b * half_b - a * cc
+    sq = np.sqrt(np.maximum(delta, 0.0))
+    tt0 = (-half_b - sq) / a
+    tt1 = (-half_b + sq) / a
+    in0 = (tt0 >= t_min) & (tt0 <= t_max)
+    in1 = (tt1 >= t_min) & (tt1 <= t_max)
+    s_t = np.where(in0, tt0, tt1)
+    s_ok = (delta > 0.0) & (in0 | in1)
+    s_t = np.where(s_ok, s_t, np.inf)
+
+    # --- triangles (Cramer's-rule MT, src/hittable.rs:65-108)
+    a3 = t["tri_pa"][:scene.ntr].astype(np.float64)
+    b3 = t["tri_pb"][:scene.ntr].astype(np.float64)
+    c3 = t["tri_pc"][:scene.ntr].astype(np.float64)
+    ba, ca, pa = a3 - b3, a3 - c3, a3 - o[None, :]
+    cxd = np.cross(ca, d[None, :])
+    det = np.einsum("ij,ij->i", ba, cxd)
+    det_ok = np.abs(det) >= SMOL
+    inv = 1.0 / np.where(det_ok, det, 1.0)
+    tr_t = np.einsum("ij,ij->i", pa, np.cross(ba, ca)) * inv
+    u = np.einsum("ij,ij->i", pa, cxd) * inv
+    v = np.einsum("ij,ij->i", np.cross(ba, pa), np.broadcast_to(d, ba.shape)) * inv
+    w = 1.0 - u - v
+    tr_ok = (det_ok & (tr_t >= t_min) & (tr_t <= t_max)
+             & (u >= 0) & (v >= 0) & (w >= 0))
+    tr_t = np.where(tr_ok, tr_t, np.inf)
+
+    all_t = np.concatenate([s_t, tr_t])
+    if not np.isfinite(all_t).any():
+        return None
+    # last index attaining the min == the shrinking scan's winner
+    idx = all_t.shape[0] - 1 - int(np.argmin(all_t[::-1]))
+    tt = all_t[idx]
+    pos = o + tt * d
+    if idx < scene.ns:
+        n = (pos - c[idx]) / r[idx]
+        return dict(t=tt, position=pos, normal=n, uv=_equirect_uv(n),
+                    material=int(t["s_material"][idx]))
+    k = idx - scene.ns
+    n = w[k] * t["tri_na"][k] + u[k] * t["tri_nb"][k] + v[k] * t["tri_nc"][k]
+    uv = w[k] * t["tri_ua"][k] + u[k] * t["tri_ub"][k] + v[k] * t["tri_uc"][k]
+    return dict(t=tt, position=pos, normal=n, uv=uv,
+                material=int(t["tri_material"][k]))
 
 
 def sample_texture(scene, tid, position, uv, depth=2):

@@ -22,11 +22,17 @@ def _compare(scene_builder, accel, size=24, spp=2, max_bounce=4, seed=7,
                  seed=seed).color.astype(np.float64)
     want = render_oracle(compiled, size, size, spp, max_bounce, seed)
     diff = np.abs(got - want)
-    # float32 vs float64 divergence can flip a near-tangent intersection on
-    # a few samples; demand near-exact agreement on almost every pixel
+    # float32 vs float64 divergence is chaotic through multi-bounce paths: a
+    # tiny first-hit perturbation can reroute a later segment onto a
+    # different primitive, flipping one sample's radiance by O(1) (verified
+    # on more_balls: 1 flipped pixel at seed 7, zero at seeds 8-10). Allow
+    # at least one whole flipped pixel regardless of frame size — a
+    # fractional gate on a tiny frame would demand zero flips.
     bad = (diff > tol).any(axis=-1)
-    assert bad.mean() <= mismatch_frac, (
-        f"{bad.sum()} mismatched pixels (max diff {diff.max():.4f})")
+    allowed = max(1, round(mismatch_frac * bad.size))
+    assert bad.sum() <= allowed, (
+        f"{bad.sum()} mismatched pixels > {allowed} allowed "
+        f"(max diff {diff.max():.4f})")
 
 
 def test_three_balls_matches_oracle():
@@ -71,6 +77,26 @@ def test_bunny_matches_oracle():
     # (example_scenes.rs:309-350); clustered accel (the Pallas kernels are
     # pinned against brute force in their own suites + the TPU smoke)
     _compare(examples.bunny(), accel="cluster", size=16)
+
+
+def test_chunk_size_invariance():
+    """Chunking is an implementation detail: a chunk size that does not
+    divide the frame (tail lanes born dead) must give a bit-identical image
+    and the exact same segment count as one whole-frame chunk."""
+    compiled = examples.three_balls().build(accel="brute")
+    a = render(compiled, 16, 12, spp=2, max_bounce=3, seed=5)
+    b = render(compiled, 16, 12, spp=2, max_bounce=3, seed=5,
+               chunk_size=100)  # 384 rays -> 4 chunks, 16-lane dead tail
+    np.testing.assert_array_equal(a.color, b.color)
+    assert a.segments == b.segments
+
+    # 16x16 activates the tile-swizzled ray order (renderer.TILE_W/H):
+    # still bit-identical across chunkings (and vs the oracle, which the
+    # bunny test pins at the same frame size)
+    c = render(compiled, 16, 16, spp=2, max_bounce=3, seed=5)
+    d = render(compiled, 16, 16, spp=2, max_bounce=3, seed=5, chunk_size=200)
+    np.testing.assert_array_equal(c.color, d.color)
+    assert c.segments == d.segments
 
 
 @pytest.mark.slow

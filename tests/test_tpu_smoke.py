@@ -71,30 +71,6 @@ def test_flash_compiles_on_tpu(small_scene, rays):
     _check(fn(rays))
 
 
-def test_grouped_compiles_on_tpu(small_scene, rays):
-    from potato_tpu.ops.grouped import build_grouped_accel, intersect_grouped
-
-    scene = small_scene.build(accel="brute")
-    accel = build_grouped_accel(scene.tables, scene.num_spheres,
-                                scene.num_triangles)
-    fn = jax.jit(lambda r: intersect_grouped(accel, scene.tables, r,
-                                             interpret=False))
-    _check(fn(rays))
-
-
-def test_pallas_flat_compiles_on_tpu(small_scene, rays):
-    from potato_tpu.ops.pallas_intersect import (
-        build_pallas_accel, intersect_pallas,
-    )
-
-    scene = small_scene.build(accel="brute")
-    accel = build_pallas_accel(scene.tables, scene.num_spheres,
-                               scene.num_triangles)
-    fn = jax.jit(lambda r: intersect_pallas(accel, scene.tables, r,
-                                            interpret=False))
-    _check(fn(rays))
-
-
 def test_flash_matches_brute_on_tpu(small_scene, rays):
     from potato_tpu.ops.flash import build_flash_accel, intersect_flash
     from potato_tpu.ops.intersect import intersect_brute_force

@@ -128,8 +128,9 @@ def main():
     log(f"shade (incl 4x uniform2): {per*1e3:.2f} ms/iter")
 
     # kernel-only: pre-built queues, vary t_max
-    from potato_tpu.ops.flash import OUT_COLS, R as BLOCK_R, _flash_kernel
-    from potato_tpu.ops.grouped import RAY_COLS, K, _pad_queue_rows
+    from potato_tpu.ops.flash import (
+        OUT_COLS, R as BLOCK_R, RAY_COLS, K, _flash_kernel, _pad_queue_rows,
+    )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
