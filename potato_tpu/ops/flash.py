@@ -47,9 +47,10 @@ from potato_tpu.ops.intersect import sphere_hit_fields, triangle_hit_fields
 
 R = 512        # rays per block (one grid step)
 K = 128        # primitives per cluster (one lane tile)
-RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5)
+RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5),  m = d x o
 OUT_COLS = 8   # tri: t u v slot | sph: t slot | pad(2)
-TRI_FEATURES = 16     # n(3) a_x_ca(3) ca(3) ba_x_a(3) ba(3) a.n(1)
+# watertight edge-function features: gU eU gV eV gW eW (3 each) n(3) s_t(1)
+TRI_FEATURES = 24     # 22 used, padded to a sublane multiple
 SPH_FEATURES = 8      # c(3) |c|^2-r^2(1) valid(1)
 
 
@@ -129,16 +130,26 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
     tp = tri_perm.shape[0]
     tf = np.zeros((TRI_FEATURES, tp), np.float64)
     pa_o, pb_o, pc_o = pa[order], pb[order], pc[order]
+    # Watertight Moller-Trumbore in bilinear form: the Woop 2013 sheared
+    # 2D edge function for edge (P, Q) equals (up to a positive per-ray
+    # scale) U = d.(P x Q) + (d x o).(P - Q), a dot of per-ray [d, m] with
+    # per-triangle [P x Q, P - Q]. Two triangles sharing an edge traverse
+    # it in opposite directions, and these features are EXACT negations in
+    # f64 (and stay so through the f32 cast), so the kernel's U values are
+    # exact floating-point negations even under FMA contraction — the
+    # watertight no-leak guarantee without any per-ray shear frame.
+    # Padding slots are all-zero: U = V = W = 0 exactly => det 0, rejected.
     ba = pa_o - pb_o
     ca = pa_o - pc_o
     n = np.cross(ba, ca)
-    tf[0:3, :T] = n.T
-    tf[3:6, :T] = np.cross(pa_o, ca).T
-    tf[6:9, :T] = ca.T
-    tf[9:12, :T] = np.cross(ba, pa_o).T
-    tf[12:15, :T] = ba.T
-    tf[15, :T] = np.einsum("td,td->t", pa_o, n)
-    # padding slots keep n = 0 -> det 0 -> never valid
+    tf[0:3, :T] = np.cross(pc_o, pb_o).T      # gU, edge (c, b): weights pa
+    tf[3:6, :T] = (pc_o - pb_o).T             # eU
+    tf[6:9, :T] = np.cross(pa_o, pc_o).T      # gV, edge (a, c): weights pb
+    tf[9:12, :T] = (pa_o - pc_o).T            # eV
+    tf[12:15, :T] = np.cross(pb_o, pa_o).T    # gW, edge (b, a): weights pc
+    tf[15:18, :T] = (pb_o - pa_o).T           # eW
+    tf[18:21, :T] = n.T                       # plane normal (t numerator)
+    tf[21, :T] = np.einsum("td,td->t", pa_o, n)   # s_t = a . n
 
     # --- spheres ---
     S = num_spheres
@@ -298,9 +309,21 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     # triangle walk: a tile of rays that all hit the ground sphere skips
     # every triangle cluster behind it (the reference's t_max-shrinking
     # ordered descent, src/bvh.rs:106-112, across primitive types).
-    colt[:] = jnp.full((R, K), BIG, jnp.float32)
-    cols[:] = jnp.zeros((R, K), jnp.float32)
-    rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
+    #
+    # Both phases are fully guarded on their visit count: a block whose
+    # queue is empty (sky tiles, retired-ray tiles) writes its miss
+    # defaults and does NO (R, K)-wide work — no scratch init, no winner
+    # extraction. Payload scratch (colu/colv/cols) is never initialized at
+    # all: lanes the masked-sum extraction reads are exactly the lanes a
+    # visit wrote, and when a phase finds no hit (t stays BIG) the
+    # extracted garbage payload is discarded downstream (hit.valid False
+    # => the integrator's sanitize pass masks every field).
+    n_sph = sn_ref[row, 0]
+
+    @pl.when(n_sph == 0)
+    def _():
+        out_ref[:, 4:5] = jnp.full((R, 1), BIG, jnp.float32)
+        out_ref[:, 5:6] = jnp.zeros((R, 1), jnp.float32)
 
     def sph_body(j, _):
         far = jnp.max(jnp.minimum(rbest[:], t_max))
@@ -341,24 +364,31 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, sn_ref[row, 0], sph_body, 0)
+    @pl.when(n_sph > 0)
+    def _():
+        colt[:] = jnp.full((R, K), BIG, jnp.float32)
+        rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
+        jax.lax.fori_loop(0, n_sph, sph_body, 0)
 
-    sph_t = rbest[:]
-    at_min = colt[:] == sph_t
-    win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
-                  axis=1, keepdims=True)
-    mask = at_min & (lane == win)
-    out_ref[:, 4:5] = sph_t
-    out_ref[:, 5:6] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
-                              keepdims=True)
+        s_t = rbest[:]
+        at_min = colt[:] == s_t
+        win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
+                      axis=1, keepdims=True)
+        mask = at_min & (lane == win)
+        out_ref[:, 4:5] = s_t
+        out_ref[:, 5:6] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
+                                  keepdims=True)
+
     out_ref[:, 6:8] = jnp.zeros((R, 2), jnp.float32)
+    sph_t = out_ref[:, 4:5]
 
     # ---------------- triangle phase ----------------
-    colt[:] = jnp.full((R, K), BIG, jnp.float32)
-    colu[:] = jnp.zeros((R, K), jnp.float32)
-    colv[:] = jnp.zeros((R, K), jnp.float32)
-    cols[:] = jnp.zeros((R, K), jnp.float32)
-    rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
+    n_tri = tn_ref[row, 0]
+
+    @pl.when(n_tri == 0)
+    def _():
+        out_ref[:, 0:1] = jnp.full((R, 1), BIG, jnp.float32)
+        out_ref[:, 1:4] = jnp.zeros((R, 3), jnp.float32)
 
     def tri_body(j, _):
         # early termination: skip once every live lane's best hit (its
@@ -370,40 +400,41 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
         def _():
             ci = tcodes_ref[row, j]
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
-            nx = tri_ref[0:1, sl]
-            ny = tri_ref[1:2, sl]
-            nz = tri_ref[2:3, sl]
-            a1x = tri_ref[3:4, sl]
-            a1y = tri_ref[4:5, sl]
-            a1z = tri_ref[5:6, sl]
-            cax = tri_ref[6:7, sl]
-            cay = tri_ref[7:8, sl]
-            caz = tri_ref[8:9, sl]
-            a2x = tri_ref[9:10, sl]
-            a2y = tri_ref[10:11, sl]
-            a2z = tri_ref[11:12, sl]
-            bax = tri_ref[12:13, sl]
-            bay = tri_ref[13:14, sl]
-            baz = tri_ref[14:15, sl]
-            s_t = tri_ref[15:16, sl]
 
-            # Cramer's-rule Moller-Trumbore on the moment form (m = d x o);
-            # identical math to ops/intersect.py
-            det = dx * nx + dy * ny + dz * nz                 # (R, K)
-            o_n = ox * nx + oy * ny + oz * nz
-            u_num = (dx * a1x + dy * a1y + dz * a1z
-                     - (mx * cax + my * cay + mz * caz))
-            v_num = (dx * a2x + dy * a2y + dz * a2z
-                     + (mx * bax + my * bay + mz * baz))
-            t_num = s_t - o_n
-
-            det_ok = jnp.abs(det) >= SMOL
-            inv_det = jnp.where(det_ok, 1.0, 0.0) / jnp.where(det_ok, det, 1.0)
-            tt = t_num * inv_det
-            tu = u_num * inv_det
-            tv = v_num * inv_det
-            valid = (det_ok & (tt >= t_min) & (tt <= t_max)
-                     & (tu >= 0.0) & (tv >= 0.0) & (tu + tv <= 1.0))
+            # Watertight Moller-Trumbore (Woop, Benthin & Wald 2013 edge
+            # tests; BASELINE north-star upgrade over the reference's
+            # Cramer form, src/hittable.rs:65-108) in bilinear form: the
+            # sheared 2D edge function of edge (P, Q) is, up to one
+            # positive per-ray scale, U = d.(PxQ) + m.(P-Q) with m = dxo.
+            # Adjacent triangles carry exactly-negated (PxQ, P-Q) features
+            # for their shared edge (build_flash_accel), and negation
+            # commutes with correctly-rounded FMA arithmetic, so their U
+            # values are exact fp negations: a ray crossing the shared
+            # edge is accepted by at least one triangle, whatever the
+            # compiler's contraction policy.
+            U = (dx * tri_ref[0:1, sl] + dy * tri_ref[1:2, sl]
+                 + dz * tri_ref[2:3, sl] + mx * tri_ref[3:4, sl]
+                 + my * tri_ref[4:5, sl] + mz * tri_ref[5:6, sl])
+            V = (dx * tri_ref[6:7, sl] + dy * tri_ref[7:8, sl]
+                 + dz * tri_ref[8:9, sl] + mx * tri_ref[9:10, sl]
+                 + my * tri_ref[10:11, sl] + mz * tri_ref[11:12, sl])
+            W = (dx * tri_ref[12:13, sl] + dy * tri_ref[13:14, sl]
+                 + dz * tri_ref[14:15, sl] + mx * tri_ref[15:16, sl]
+                 + my * tri_ref[16:17, sl] + mz * tri_ref[17:18, sl])
+            det = U + V + W
+            same_sign = (((U >= 0.0) & (V >= 0.0) & (W >= 0.0))
+                         | ((U <= 0.0) & (V <= 0.0) & (W <= 0.0)))
+            det_ok = det != 0.0
+            inv_det = jnp.where(det_ok, 1.0, 0.0) / jnp.where(det_ok, det,
+                                                              1.0)
+            # t from the plane equation: t = (o.n - s_t) / det, since
+            # det = U+V+W = -d.n exactly in real arithmetic
+            o_n = (ox * tri_ref[18:19, sl] + oy * tri_ref[19:20, sl]
+                   + oz * tri_ref[20:21, sl])
+            tt = (o_n - tri_ref[21:22, sl]) * inv_det
+            tu = V * inv_det   # pb weight
+            tv = W * inv_det   # pc weight
+            valid = (det_ok & same_sign & (tt >= t_min) & (tt <= t_max))
             key = jnp.where(valid, tt, BIG)
 
             improve = key < colt[:]
@@ -416,22 +447,27 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, tn_ref[row, 0], tri_body, 0)
+    @pl.when(n_tri > 0)
+    def _():
+        colt[:] = jnp.full((R, K), BIG, jnp.float32)
+        rbest[:] = jnp.full((R, 1), BIG, jnp.float32)
+        jax.lax.fori_loop(0, n_tri, tri_body, 0)
 
-    # one winner extraction per block (not per visit): rbest is the min of
-    # colt's columns; pick the lowest winning lane, payload via masked sums
-    tri_t = rbest[:]
-    at_min = colt[:] == tri_t
-    win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
-                  axis=1, keepdims=True)
-    mask = at_min & (lane == win)
-    out_ref[:, 0:1] = tri_t
-    out_ref[:, 1:2] = jnp.sum(jnp.where(mask, colu[:], 0.0), axis=1,
-                              keepdims=True)
-    out_ref[:, 2:3] = jnp.sum(jnp.where(mask, colv[:], 0.0), axis=1,
-                              keepdims=True)
-    out_ref[:, 3:4] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
-                              keepdims=True)
+        # one winner extraction per block (not per visit): rbest is the min
+        # of colt's columns; pick the lowest winning lane, payload via
+        # masked sums
+        tri_t = rbest[:]
+        at_min = colt[:] == tri_t
+        win = jnp.min(jnp.where(at_min, lane, jnp.int32(1 << 30)),
+                      axis=1, keepdims=True)
+        mask = at_min & (lane == win)
+        out_ref[:, 0:1] = tri_t
+        out_ref[:, 1:2] = jnp.sum(jnp.where(mask, colu[:], 0.0), axis=1,
+                                  keepdims=True)
+        out_ref[:, 2:3] = jnp.sum(jnp.where(mask, colv[:], 0.0), axis=1,
+                                  keepdims=True)
+        out_ref[:, 3:4] = jnp.sum(jnp.where(mask, cols[:], 0.0), axis=1,
+                                  keepdims=True)
 
 
 def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,

@@ -129,10 +129,19 @@ def triangle_hit_t_watertight(pa, pb, pc, origin, direction, t_min, t_max):
     cy = sel(c, ky) - sy * cz
 
     # 2D edge functions: area(O,B,C) weights pa, area(O,C,A) weights pb,
-    # area(O,A,B) weights pc
-    u_e = cx * by - cy * bx
-    v_e = ax * cy - ay * cx
-    w_e = bx * ay - by * ax
+    # area(O,A,B) weights pc — in the symmetrized form
+    #   e(P, Q) = 0.5*((Px*Qy - Py*Qx) - (Qx*Py - Qy*Px))
+    # whose value under operand swap is the exact floating-point negation
+    # even when the compiler contracts the inner subtractions into FMAs.
+    # The naive single-difference form loses that antisymmetry under
+    # contraction, silently voiding the watertight guarantee (observed as
+    # shared-edge leaks; ops/flash.py runs the same form in the kernel).
+    def _edge(px, py, qx, qy):
+        return 0.5 * ((px * qy - py * qx) - (qx * py - qy * px))
+
+    u_e = _edge(cx, cy, bx, by)
+    v_e = _edge(ax, ay, cx, cy)
+    w_e = _edge(bx, by, ax, ay)
 
     det = u_e + v_e + w_e
     same_sign = ((u_e >= 0.0) & (v_e >= 0.0) & (w_e >= 0.0)) | \

@@ -45,6 +45,10 @@ def make_sharded_render_fn(scene: CompiledScene, mesh: Mesh, *, width: int,
         in_specs=(P(), P(), P(RAY_AXIS)),
         out_specs=TraceResult(color=P(RAY_AXIS), aov_normal=P(RAY_AXIS),
                               aov_hit=P(RAY_AXIS), segments=P()),
+        # pallas_call's out_shape (flash kernel) cannot declare varying
+        # mesh axes, which trips shard_map's vma validation; the specs
+        # above are the full truth of what varies
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -82,5 +86,6 @@ def make_sharded_train_step(scene: CompiledScene, mesh: Mesh, *, width: int,
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=(P(), P()),
+        check_vma=False,  # see make_sharded_render_fn
     )
     return jax.jit(sharded)

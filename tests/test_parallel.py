@@ -49,6 +49,32 @@ def test_sharded_render_matches_single_device(scene):
     assert int(sharded.segments) == int(single.segments)
 
 
+def test_sharded_flash_matches_single_device():
+    """The production Pallas kernel (flash) executing under shard_map
+    across the 8-device CPU mesh (interpret mode) must be bit-identical to
+    the single-device render — the VERDICT r2 gap: the flagship kernels
+    had never executed under shard_map anywhere."""
+    scene = examples.one_triangle().build(accel="flash")
+    w = h = 16
+    spp = 2
+    total = w * h * spp
+    ids = jnp.arange(total, dtype=jnp.uint32)
+
+    mesh = make_ray_mesh()
+    fn = make_sharded_render_fn(scene, mesh, width=w, height=h, spp=spp,
+                                max_bounce=3, seed=5)
+    sharded = fn(scene.tables, scene.camera, ids)
+
+    single = jax.jit(partial(
+        render_chunk, intersect_fn=make_intersect_fn(scene), width=w,
+        height=h, spp=spp, max_bounce=3, seed=5))(
+            scene.tables, scene.camera, ray_ids=ids)
+
+    np.testing.assert_array_equal(np.asarray(sharded.color),
+                                  np.asarray(single.color))
+    assert int(sharded.segments) == int(single.segments)
+
+
 def test_sharded_train_step_reduces_loss():
     """One SGD step on the texel atlas must reduce the sharded L2 loss.
 

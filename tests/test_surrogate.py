@@ -93,6 +93,56 @@ def test_ior_choice_probability_gradient_recovered():
     np.testing.assert_allclose(got, want, rtol=5e-2)
 
 
+def test_render_ior_gradient_includes_choice_term():
+    """End-to-end wiring (VERDICT r2 item 5): d(mean image)/d(IOR) through
+    a real render. Scene: a dielectric sphere against a bright sky with
+    max_bounce=2, so refracted paths die black inside the sphere while
+    reflected paths escape to the sky — the image depends on IOR almost
+    entirely through the reflect-probability (the choice term the detached
+    Bernoulli drops). The finite difference with common random numbers is
+    the oracle: ior_score=True must match it; ior_score=False must not."""
+    from potato_tpu.render.renderer import make_intersect_fn, render_chunk
+    from potato_tpu.scene.description import Camera
+
+    s = SceneBuilder()
+    m = s.add_material(Material(Scatter.dielectric(1.5), Absorb.white_body(),
+                                Emit.none()))
+    s.add_sphere((0.0, 0.0, -2.2), 1.0, m)
+    s.camera = Camera(fov=np.pi / 3)  # sphere fills most of the frame
+    compiled = s.build(accel="brute")
+    w = h = 12
+    spp, mb, seed = 48, 2, 3
+    ids = jnp.arange(w * h * spp, dtype=jnp.uint32)
+    intersect_fn = make_intersect_fn(compiled)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def mean_image(ior, score):
+        tables = compiled.tables._replace(
+            m_scatter_param=jnp.full_like(compiled.tables.m_scatter_param,
+                                          ior))
+        out = render_chunk(tables, compiled.camera, ids,
+                           intersect_fn=intersect_fn, width=w, height=h,
+                           spp=spp, max_bounce=mb, seed=seed,
+                           ior_score=score)
+        return jnp.mean(out.color)
+
+    @partial(jax.jit, static_argnums=1)
+    def grad_image(ior, score):
+        return jax.grad(lambda i: mean_image(i, score))(ior)
+
+    g_on = float(grad_image(jnp.asarray(1.5), True))
+    g_off = float(grad_image(jnp.asarray(1.5), False))
+    eps = 0.05  # wide FD step: flips are discrete, need many in the bracket
+    fd = float((mean_image(jnp.asarray(1.5 + eps), False)
+                - mean_image(jnp.asarray(1.5 - eps), False)) / (2 * eps))
+    # the surrogate gradient is a different unbiased estimator than the FD
+    # flip count — both are stochastic, so gate loosely but decisively
+    assert abs(g_on - fd) < 0.4 * abs(fd), (g_on, g_off, fd)
+    assert abs(g_off - fd) > 3 * abs(g_on - fd), (g_on, g_off, fd)
+
+
 def test_eval_material_folds_weight_into_absorb():
     n = 8
     tables, d, hit = _dielectric_setup(n)

@@ -81,7 +81,9 @@ def test_flash_matches_brute_on_tpu(small_scene, rays):
     got = jax.jit(lambda r: intersect_flash(accel, scene.tables, r,
                                             interpret=False))(rays)
     want = jax.jit(lambda r: intersect_brute_force(scene.tables, r))(rays)
+    # flash runs watertight MT, brute the reference Cramer form: identical
+    # accept sets away from edges, t agreement to f32 arithmetic noise
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
     np.testing.assert_allclose(np.asarray(got.t)[np.asarray(want.valid)],
                                np.asarray(want.t)[np.asarray(want.valid)],
-                               rtol=1e-5)
+                               rtol=1e-4)

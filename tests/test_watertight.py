@@ -110,6 +110,49 @@ def test_shared_vertex_never_leaks():
     assert leaked == 0, f"{leaked} / {n} vertex rays leaked"
 
 
+def test_flash_kernel_shared_edge_never_leaks():
+    """The PRODUCTION intersector (flash kernel, interpret mode) runs the
+    watertight form: rays aimed exactly at the shared edge of a
+    two-triangle quad must report a hit (VERDICT r2 item 3 — the
+    watertight math wired into the production path, not just the unit)."""
+    from potato_tpu.core.types import RayBatch
+    from potato_tpu.ops.flash import build_flash_accel, intersect_flash
+    from potato_tpu.scene.description import (
+        Absorb, Emit, Material, MeshData, Scatter, SceneBuilder,
+    )
+
+    rng = np.random.default_rng(7)
+    # planar quad in z = -2, split along the diagonal (p0, p1)
+    p0 = np.asarray([-1.0, -1.0, -2.0], np.float32)
+    p1 = np.asarray([1.0, 1.0, -2.0], np.float32)
+    q0 = np.asarray([-1.0, 1.0, -2.0], np.float32)
+    q1 = np.asarray([1.0, -1.0, -2.0], np.float32)
+    pos = np.stack([p0, p1, q0, q1])
+    mesh = MeshData(positions=pos,
+                    normals=np.tile([[0, 0, 1]], (4, 1)).astype(np.float32),
+                    uvs=np.zeros((4, 2), np.float32),
+                    indices=np.asarray([[0, 1, 2], [1, 0, 3]], np.int32))
+    s = SceneBuilder()
+    m = s.add_material(Material(Scatter.lambert(), Absorb.albedo(1, 1, 1),
+                                Emit.none()))
+    s.add_mesh(mesh, m)
+    scene = s.build(accel="brute")
+    accel = build_flash_accel(scene.tables, scene.num_spheres,
+                              scene.num_triangles)
+
+    n = 2048
+    lam = rng.uniform(0.02, 0.98, size=(n, 1)).astype(np.float32)
+    target = p0[None] * (1 - lam) + p1[None] * lam   # on the shared edge
+    origin = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    origin[:, 2] = 2.0
+    d = target - origin
+    rays = RayBatch(origin=jnp.asarray(origin), direction=jnp.asarray(d),
+                    t_min=jnp.full((n,), 1e-4), t_max=jnp.full((n,), 1e9))
+    out = intersect_flash(accel, scene.tables, rays, interpret=True)
+    leaked = (~np.asarray(out.valid)).sum()
+    assert leaked == 0, f"{leaked} / {n} edge rays leaked through flash"
+
+
 def test_axis_aligned_rays():
     """Rays along each axis (zero components => shear degeneracies)."""
     pa = jnp.asarray([[0, -1, -1]], jnp.float32)
