@@ -1,0 +1,237 @@
+"""Persistent-pool wavefront renderer with ray regeneration.
+
+The chunked renderer (renderer.py) pays every per-bounce cost — queue
+build, kernel launch, shading, RNG — on all lanes of a chunk even as lanes
+retire, and the early-exit while_loop only skips a bounce once EVERY lane
+of the chunk has retired. This module replaces the chunk loop with the
+classic wavefront-regeneration design (the GPU analogue of the reference's
+dynamic tile queue, src/main.rs:36-59): one fixed-size lane pool; each
+iteration intersects + shades the whole pool, retires finished paths, and
+refills the freed lanes with fresh camera rays — so iterations run at high
+occupancy and the whole frame is ONE device program (no chunk serialization
+at all).
+
+Ray->lane assignment is strided: lane s processes rays rank = g*pool + s
+for generations g = 0, 1, ... A retiring lane banks its result into a
+(G, pool, 8) buffer via a generation-one-hot masked accumulate — measured
+free on TPU, where a 262k-row scatter costs ~9.4 ms/iteration (XLA TPU
+scatter is element-serialized; the one-hot accumulate is pure VPU work).
+
+Determinism: every lane carries its (ray id, bounce depth) and all
+randomness is a pure function of (seed, bounce, ray id), so the image is
+bit-identical to the chunked renderer's (tests/test_wavefront.py).
+
+Refill order follows the tile-swizzled ray sequence: coherent blocks tend
+to retire together (a sky tile's 512 lanes all miss at once), so a freed
+block is refilled with a fresh, spatially-coherent pixel tile.
+
+Measured tradeoff on v5e (bunny, 800x600x4spp, mean path length 1.57):
+the pool runs at 468 ms/frame vs the chunked renderer's 195 ms — full
+occupancy does not pay for the loss of tile coherence once generations
+mix within kernel blocks, so the chunked path remains the default and the
+bench surface. The pool is the right shape for scenes whose paths are
+long and divergent (deep dielectric interiors), where the chunked
+early-exit loop degrades to near-empty bounces.
+
+Forward-only (lax.while_loop): the differentiable path keeps the scan
+integrator in render/integrator.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from potato_tpu.core import rng as prng
+from potato_tpu.core.types import BIG, RAY_EPSILON, HitBatch, RayBatch
+from potato_tpu.ops.material import eval_emit, eval_material
+from potato_tpu.render.camera import generate_rays
+from potato_tpu.render.renderer import (
+    RenderOutput,
+    _tiles_apply,
+    make_intersect_fn,
+    tile_swizzle_ids,
+    tile_unswizzle_perm,
+)
+from potato_tpu.scene.tables import CompiledScene
+
+
+def build_pool_fn(scene: CompiledScene, width: int, height: int, spp: int,
+                  max_bounce: int, pool: int = 1 << 18):
+    """Returns jitted f(tables, camera, seed) -> (buf (G, pool, 8),
+    segments): buf rows in issue-rank order hold
+    [radiance(3), aov_normal(3), aov_hit(1), pad]."""
+    intersect_fn = make_intersect_fn(scene)
+    features = scene.features
+    total = width * height * spp
+    tiles = _tiles_apply(width, height)
+    gens = max(1, -(-total // pool))  # ceil
+
+    def issue_ids(rank):
+        """rank-th ray in issue order -> physical ray id (swizzled)."""
+        lin = rank % jnp.uint32(max(total, 1))
+        return tile_swizzle_ids(lin, width, spp) if tiles else lin
+
+    lane = jnp.arange(pool, dtype=jnp.uint32)
+
+    def pool_render(tables, camera, seed):
+        def background_radiance(direction, b):
+            from potato_tpu.core.types import hits_at_infinity
+
+            hit_inf = hits_at_infinity(direction)
+            kind = jnp.broadcast_to(tables.bg_kind, (b,))
+            color = jnp.broadcast_to(tables.bg_color, (b, 3))
+            tex = jnp.broadcast_to(tables.bg_tex, (b,))
+            return eval_emit(tables, kind, color, tex, direction, hit_inf,
+                             features=features)
+
+        live0 = lane < jnp.uint32(total)
+        ids0 = issue_ids(lane)
+        rays0 = generate_rays(camera, width, height, spp, ids0, seed)
+        rays0 = rays0._replace(t_max=jnp.where(live0, rays0.t_max, -1.0))
+
+        state = dict(
+            rays=rays0,
+            ray_id=ids0,
+            gen=jnp.zeros((pool,), jnp.int32),
+            bounce=jnp.zeros((pool,), jnp.int32),
+            active=live0,
+            throughput=jnp.ones((pool, 3), jnp.float32),
+            radiance=jnp.zeros((pool, 3), jnp.float32),
+            aov_normal=jnp.zeros((pool, 3), jnp.float32),
+            aov_hit=jnp.zeros((pool,), bool),
+            segments=jnp.int32(0),
+            buf=jnp.zeros((gens, pool, 8), jnp.float32),
+        )
+
+        def cond(s):
+            return jnp.any(s["active"])
+
+        def body(s):
+            rays: RayBatch = s["rays"]
+            active = s["active"]
+            bounce = s["bounce"]
+            ray_id = s["ray_id"]
+
+            hit: HitBatch = intersect_fn(tables, rays)
+            v1 = hit.valid
+            v3 = v1[..., None]
+            hit = hit._replace(
+                position=jnp.where(v3, hit.position, 0.0),
+                normal=jnp.where(v3, hit.normal,
+                                 jnp.asarray([0.0, 0.0, 1.0], jnp.float32)),
+                uv=jnp.where(v1[..., None], hit.uv, 0.0),
+                t=jnp.where(v1, hit.t, 1.0),
+            )
+
+            # per-lane bounce depth => per-lane salts (arrays broadcast)
+            u1, u2 = prng.uniform2(
+                seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ray_id)
+            u3, _ = prng.uniform2(
+                seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_id)
+            u4, _ = prng.uniform2(
+                seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_id)
+
+            mat = eval_material(tables, hit.material, rays.direction, hit,
+                                u1, u2, u3, u4, features=features)
+            bg = background_radiance(rays.direction, pool)
+
+            contrib = jnp.where(hit.valid[..., None], mat.emit, bg)
+            radiance = s["radiance"] + s["throughput"] * contrib \
+                * active[..., None].astype(jnp.float32)
+            first = bounce == 0
+            aov_normal = jnp.where(
+                (first & active)[..., None],
+                jnp.where(hit.valid[..., None], hit.normal, 0.0),
+                s["aov_normal"])
+            aov_hit = jnp.where(first & active, hit.valid, s["aov_hit"])
+            throughput = jnp.where(
+                (active & hit.valid)[..., None],
+                s["throughput"] * mat.absorb, s["throughput"])
+
+            # depth semantics match the reference (render.rs:128-131): the
+            # segment at bounce == max_bounce-1 contributes its emission
+            # but never scatters further
+            continues = (active & hit.valid & mat.scatter.valid
+                         & (bounce + 1 < max_bounce))
+            retired = active & ~continues
+
+            # bank finished paths: generation-one-hot masked accumulate
+            # (each (gen, lane) cell is written exactly once)
+            payload = jnp.concatenate(
+                [radiance, aov_normal,
+                 aov_hit.astype(jnp.float32)[:, None],
+                 jnp.zeros((pool, 1), jnp.float32)], axis=1)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (gens, pool), 0)
+                   == s["gen"][None, :]) & retired[None, :]
+            buf = s["buf"] + sel[..., None] * payload[None]
+
+            # refill freed lanes with their next-generation camera ray
+            gen2 = s["gen"] + 1
+            rank2 = gen2.astype(jnp.uint32) * jnp.uint32(pool) + lane
+            fresh = retired & (rank2 < jnp.uint32(total))
+            new_ids = issue_ids(rank2)
+            cam = generate_rays(camera, width, height, spp, new_ids, seed)
+
+            next_active = continues | fresh
+            next_rays = RayBatch(
+                origin=jnp.where(fresh[..., None], cam.origin,
+                                 jnp.where(continues[..., None],
+                                           hit.position, 0.0)),
+                direction=jnp.where(fresh[..., None], cam.direction,
+                                    mat.scatter.direction),
+                t_min=jnp.full((pool,), RAY_EPSILON, jnp.float32),
+                t_max=jnp.where(next_active,
+                                jnp.where(fresh, cam.t_max, BIG), -1.0),
+            )
+            zero3 = jnp.zeros((pool, 3), jnp.float32)
+            return dict(
+                rays=next_rays,
+                ray_id=jnp.where(fresh, new_ids, ray_id),
+                gen=jnp.where(fresh, gen2, s["gen"]),
+                bounce=jnp.where(fresh, 0, bounce + 1),
+                active=next_active,
+                throughput=jnp.where(fresh[..., None], 1.0, throughput),
+                radiance=jnp.where(fresh[..., None], zero3, radiance),
+                aov_normal=jnp.where(fresh[..., None], zero3, aov_normal),
+                aov_hit=jnp.where(fresh, False, aov_hit),
+                segments=s["segments"] + jnp.sum(active.astype(jnp.int32)),
+                buf=buf,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final["buf"], final["segments"]
+
+    return jax.jit(pool_render)
+
+
+def render_pool(scene: CompiledScene, width: int, height: int, spp: int = 4,
+                max_bounce: int = 8, seed: int = 0,
+                pool: int = 1 << 18,
+                with_aovs: bool = True) -> RenderOutput:
+    """Full-frame render through the regeneration pool (forward only)."""
+    total = width * height * spp
+    pool = min(pool, max(512, total))
+    key = ("pool", width, height, spp, max_bounce, pool)
+    fn = scene.fn_cache.get(key)
+    if fn is None:
+        fn = build_pool_fn(scene, width, height, spp, max_bounce, pool)
+        scene.fn_cache[key] = fn
+    buf, segments = fn(scene.tables, scene.camera,
+                       jnp.asarray(seed, jnp.uint32))
+    rows = np.asarray(buf).reshape(-1, 8)[:total]   # issue-rank order
+    if _tiles_apply(width, height):
+        flat = np.empty_like(rows)
+        flat[tile_unswizzle_perm(width, height, spp)] = rows
+    else:
+        flat = rows
+    img = flat[:, 0:3].reshape(height, width, spp, 3).mean(axis=2)
+    if with_aovs:
+        nrm = flat[:, 3:6].reshape(height, width, spp, 3).mean(axis=2)
+        cov = flat[:, 6].reshape(height, width, spp).mean(axis=2)
+    else:
+        nrm = np.zeros_like(img)
+        cov = np.zeros(img.shape[:2], np.float32)
+    return RenderOutput(color=img, normal=nrm, coverage=cov,
+                        segments=int(np.asarray(segments)))
