@@ -281,10 +281,27 @@ def build_block_queue(rays: RayBatch, cmin, cmax, block: int = R):
 # ------------------------------------------------------------------ kernel
 
 
-def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
-                  sentry_ref, rays_ref, tri_ref, sph_ref, out_ref,
-                  colt, colu, colv, cols, rbest):
-    """One 512-ray block: drain its tri + sphere cluster lists."""
+def _make_flash_kernel(ct: int):
+    """Kernel factory: `ct` = number of triangle clusters (static), the
+    split point inside the merged queue rows."""
+
+    def _flash_kernel(qi_ref, qf_ref, rays_ref, tri_ref, sph_ref, out_ref,
+                      colt, colu, colv, cols, rbest):
+        return _flash_kernel_body(ct, qi_ref, qf_ref, rays_ref, tri_ref,
+                                  sph_ref, out_ref, colt, colu, colv, cols,
+                                  rbest)
+
+    return _flash_kernel
+
+
+def _flash_kernel_body(ct, qi_ref, qf_ref, rays_ref, tri_ref, sph_ref,
+                       out_ref, colt, colu, colv, cols, rbest):
+    """One 512-ray block: drain its tri + sphere cluster lists.
+
+    Queue rows are merged into two SMEM arrays (int: [tn, sn, tcodes(ct),
+    scodes], float: [tentry(ct), sentry]) so each grid step issues 2 SMEM
+    block DMAs instead of 6.
+    """
     # SMEM blocks carry 8 queue rows per DMA (Mosaic requires the
     # second-to-last block dim to be a multiple of 8; a (1, L) block on a
     # (NB, L) array does not lower — the round-1 bench regression).
@@ -318,7 +335,7 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     # visit wrote, and when a phase finds no hit (t stays BIG) the
     # extracted garbage payload is discarded downstream (hit.valid False
     # => the integrator's sanitize pass masks every field).
-    n_sph = sn_ref[row, 0]
+    n_sph = qi_ref[row, 1]
 
     @pl.when(n_sph == 0)
     def _():
@@ -328,9 +345,9 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     def sph_body(j, _):
         far = jnp.max(jnp.minimum(rbest[:], t_max))
 
-        @pl.when(sentry_ref[row, j] < far)
+        @pl.when(qf_ref[row, ct + j] < far)
         def _():
-            ci = scodes_ref[row, j]
+            ci = qi_ref[row, 2 + ct + j]
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
             cx = sph_ref[0:1, sl]
             cy = sph_ref[1:2, sl]
@@ -383,7 +400,7 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
     sph_t = out_ref[:, 4:5]
 
     # ---------------- triangle phase ----------------
-    n_tri = tn_ref[row, 0]
+    n_tri = qi_ref[row, 0]
 
     @pl.when(n_tri == 0)
     def _():
@@ -396,9 +413,9 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
         # front-to-back sorted)
         far = jnp.max(jnp.minimum(jnp.minimum(rbest[:], sph_t), t_max))
 
-        @pl.when(tentry_ref[row, j] < far)
+        @pl.when(qf_ref[row, j] < far)
         def _():
-            ci = tcodes_ref[row, j]
+            ci = qi_ref[row, 2 + j]
             sl = pl.ds(pl.multiple_of(ci * K, K), K)
 
             # Watertight Moller-Trumbore (Woop, Benthin & Wald 2013 edge
@@ -470,9 +487,9 @@ def _flash_kernel(tn_ref, tcodes_ref, tentry_ref, sn_ref, scodes_ref,
                                   keepdims=True)
 
 
-def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
-                    interpret: bool = False) -> HitBatch:
-    """Closest hit over all scene primitives via the flash kernel."""
+def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False):
+    """Queue build + kernel launch; returns the raw (B, OUT_COLS) hit
+    records (before the shade-table epilogue) and the unpadded count."""
     padded, b = _pad_rays(rays, R)
     bp = padded.origin.shape[0]
     nb = bp // R
@@ -488,8 +505,12 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
                                            accel.tri_cmax)
     sn, scodes, sentry = build_block_queue(padded, accel.sph_cmin,
                                            accel.sph_cmax)
-    tn, tcodes, tentry = _pad_queue_rows([tn, tcodes, tentry], nb)
-    sn, scodes, sentry = _pad_queue_rows([sn, scodes, sentry], nb)
+    ct = accel.tri_cmin.shape[0]
+    # merge the six per-block queue arrays into two (one int, one float):
+    # 2 SMEM block DMAs per grid step instead of 6
+    qi = jnp.concatenate([tn, sn, tcodes, scodes], axis=1)
+    qf = jnp.concatenate([tentry, sentry], axis=1)
+    qi, qf = _pad_queue_rows([qi, qf], nb)
 
     def smem(arr):
         # 8 queue rows per SMEM block (Mosaic 8-sublane divisibility rule);
@@ -498,10 +519,9 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
                             memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
-        _flash_kernel,
+        _make_flash_kernel(ct),
         grid=(nb,),
-        in_specs=[smem(tn), smem(tcodes), smem(tentry),
-                  smem(sn), smem(scodes), smem(sentry),
+        in_specs=[smem(qi), smem(qf),
                   pl.BlockSpec((R, RAY_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -515,8 +535,14 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
                         pltpu.VMEM((R, K), jnp.float32),
                         pltpu.VMEM((R, 1), jnp.float32)],
         interpret=interpret,
-    )(tn, tcodes, tentry, sn, scodes, sentry, packed,
-      accel.tri_feats, accel.sph_feats)
+    )(qi, qf, packed, accel.tri_feats, accel.sph_feats)
+    return out, b
+
+
+def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
+                    interpret: bool = False) -> HitBatch:
+    """Closest hit over all scene primitives via the flash kernel."""
+    out, b = _flash_raw(accel, rays, interpret)
     out = jax.lax.stop_gradient(out[:b])
 
     # ---- packed shade tables (built from `tables` inside the trace so

@@ -176,7 +176,7 @@ def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
     """
     total = width * height * spp
     if chunk_size is None:
-        chunk_size = min(total, 1 << 18)
+        chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
     key = (width, height, spp, max_bounce, chunk_size, False)
@@ -212,7 +212,7 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     """
     total = width * height * spp
     if chunk_size is None:
-        chunk_size = min(total, 1 << 18)
+        chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
     per_chunk = progress or checkpoint_path is not None

@@ -108,15 +108,25 @@ def test_fuzz_gradient_matches_fd():
 
 
 def test_ior_gradient_matches_fd():
-    """Dielectric IOR: gradients flow through Schlick and the refracted
-    direction; the Bernoulli branch is detached — which is exactly what a
-    fixed-seed FD measures *between* branch flips. The loss is piecewise
-    smooth with flip points spaced ~1e-2 apart in IOR, so a single FD
-    stencil can straddle one; instead compare AD vs tiny-eps FD at several
-    base points and require the median relative error to be small (the
-    median is immune to the minority of stencils that catch a flip)."""
-    import jax
+    """Dielectric IOR, PATHWISE estimator (ior_score=False): gradients flow
+    through Schlick and the refracted direction; the Bernoulli branch is
+    detached — which is exactly what a fixed-seed FD measures *between*
+    branch flips. The loss is piecewise smooth with flip points spaced
+    ~1e-2 apart in IOR, so a single FD stencil can straddle one; instead
+    compare AD vs tiny-eps FD at several base points and require the
+    median relative error to be small (the median is immune to the
+    minority of stencils that catch a flip).
 
+    The FULL estimator (make_render_loss enables the score-function
+    surrogate whenever m_scatter_param is optimized) additionally carries
+    the choice-probability term, which tiny-eps FD between flips cannot
+    see — it is validated against a wide-stencil flip-capturing FD in
+    tests/test_surrogate.py::test_render_ior_gradient_includes_choice_term.
+    """
+    import jax
+    from functools import partial
+
+    from potato_tpu.render.renderer import make_intersect_fn, render_chunk
     from potato_tpu.scene.description import Absorb, Camera, Emit, Material, Scatter, SceneBuilder
     s = SceneBuilder()
     s.camera = Camera(fov=0.4, position=(0.0, 0.0, 0.0), target=(0.0, 0.0, -2.0))
@@ -127,8 +137,16 @@ def test_ior_gradient_matches_fd():
     total = size * size * spp
     ray_ids = jnp.arange(total, dtype=jnp.uint32)
     target = jnp.zeros((size * size, 3), jnp.float32)
-    loss = make_render_loss(scene, width=size, height=size, spp=spp,
-                            max_bounce=4, seed=11, fields=("m_scatter_param",))
+    chunk_fn = partial(render_chunk, intersect_fn=make_intersect_fn(scene),
+                       width=size, height=size, spp=spp, max_bounce=4,
+                       seed=11, ior_score=False)
+
+    def loss(params, ray_ids, target):
+        tables = scene.tables._replace(**params)
+        out = chunk_fn(tables, scene.camera, ray_ids)
+        pixel_color = out.color.reshape(-1, spp, 3).mean(axis=1)
+        return jnp.mean((pixel_color - target) ** 2)
+
     f = jax.jit(lambda p: loss({"m_scatter_param": p[None]}, ray_ids, target))
     g = jax.jit(jax.grad(lambda p: loss({"m_scatter_param": p[None]}, ray_ids, target)))
 

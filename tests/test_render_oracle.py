@@ -7,7 +7,6 @@ integration end to end (SURVEY.md §4 item 3).
 """
 
 import numpy as np
-import pytest
 
 from potato_tpu.render.renderer import render
 from potato_tpu.scene import examples
@@ -99,8 +98,10 @@ def test_chunk_size_invariance():
     assert c.segments == d.segments
 
 
-@pytest.mark.slow
 def test_glass_bunny_matches_oracle():
-    # dielectric mesh: deep refraction paths (example_scenes.rs:265-306)
+    # dielectric mesh: deep refraction paths (example_scenes.rs:265-306).
+    # In the default suite since the oracle's primitive loops were
+    # vectorized (~15 s) — every one of the 7 reference scenes is now
+    # exercised against the oracle by default.
     _compare(examples.glass_bunny(), accel="cluster", size=12, max_bounce=6,
              mismatch_frac=0.01)

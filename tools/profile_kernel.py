@@ -52,10 +52,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
-    from potato_tpu.ops.flash import (
-        OUT_COLS, R as BR, RAY_COLS, K, _flash_kernel, _pad_queue_rows,
-        build_block_queue,
-    )
+    from potato_tpu.ops.flash import R as BR, _flash_raw, build_block_queue
     from potato_tpu.render.camera import generate_rays
     from potato_tpu.render.renderer import tile_swizzle_ids
     from potato_tpu.scene import examples
@@ -85,52 +82,20 @@ def main():
         log(f"{label}: tri visits {t_visits} ({t_visits/nb:.1f}/blk), "
             f"sph visits {s_visits} ({s_visits/nb:.1f}/blk)")
 
-        def kernel_call(tmax, tn=tn, tc=tc, te=te, sn=sn, sc=sc, se=se,
-                        rays=rays):
-            r = rays._replace(t_max=tmax)
-            bp = r.origin.shape[0]
-            nb = bp // BR
-            o, d = r.origin, r.direction
-            m = jnp.cross(d, o)
-            packed = jnp.concatenate([
-                o, d, m, r.t_min[:, None], r.t_max[:, None],
-                jnp.zeros((bp, RAY_COLS - 11), jnp.float32)], axis=1)
-            tn2, tc2, te2 = _pad_queue_rows([tn, tc, te], nb)
-            sn2, sc2, se2 = _pad_queue_rows([sn, sc, se], nb)
-
-            def smem(arr):
-                return pl.BlockSpec((8, arr.shape[1]), lambda i: (i // 8, 0),
-                                    memory_space=pltpu.SMEM)
-
-            out = pl.pallas_call(
-                _flash_kernel,
-                grid=(nb,),
-                in_specs=[smem(tn2), smem(tc2), smem(te2),
-                          smem(sn2), smem(sc2), smem(se2),
-                          pl.BlockSpec((BR, RAY_COLS), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((BR, OUT_COLS), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((bp, OUT_COLS), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((BR, K), jnp.float32)] * 4 +
-                               [pltpu.VMEM((BR, 1), jnp.float32)],
-            )(tn2, tc2, te2, sn2, sc2, se2, packed,
-              acc.tri_feats, acc.sph_feats)
+        def kernel_call(tmax, rays=rays):
+            out, _ = _flash_raw(acc, rays._replace(t_max=tmax))
             return tmax + (out[:, 0] - out[:, 0])
 
         per = scan_phase(kernel_call, rays.t_max)
-        log(f"{label}: kernel(real queues) {per*1e3:.2f} ms/iter")
+        log(f"{label}: queue+kernel(real) {per*1e3:.2f} ms/iter")
 
-        # empty queues: pure fixed per-block cost (scratch init, SMEM DMA,
-        # winner extraction, grid overhead)
-        zero_tn = jnp.zeros_like(tn)
-        zero_sn = jnp.zeros_like(sn)
-        per = scan_phase(
-            lambda tmax: kernel_call(tmax, tn=zero_tn, sn=zero_sn),
-            rays.t_max)
-        log(f"{label}: kernel(empty queues) {per*1e3:.2f} ms/iter")
+        # dead rays => empty queues: pure fixed per-block cost
+        def kernel_dead(tmax, rays=rays):
+            out, _ = _flash_raw(acc, rays._replace(t_max=tmax * 0.0 - 1.0))
+            return tmax + (out[:, 0] - out[:, 0])
+
+        per = scan_phase(kernel_dead, rays.t_max)
+        log(f"{label}: queue+kernel(all-dead) {per*1e3:.2f} ms/iter")
 
 
 if __name__ == "__main__":

@@ -127,46 +127,11 @@ def main():
     per, one = scan_phase(shade_phase, jnp.uint32(0))
     log(f"shade (incl 4x uniform2): {per*1e3:.2f} ms/iter")
 
-    # kernel-only: pre-built queues, vary t_max
-    from potato_tpu.ops.flash import (
-        OUT_COLS, R as BLOCK_R, RAY_COLS, K, _flash_kernel, _pad_queue_rows,
-    )
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    # kernel-only (queue build + pallas launch, no shade epilogue)
+    from potato_tpu.ops.flash import _flash_raw
 
     def kernel_only(tmax):
-        r = rays._replace(t_max=tmax)
-        bp = r.origin.shape[0]
-        nb = bp // BLOCK_R
-        o, d = r.origin, r.direction
-        m = jnp.cross(d, o)
-        packed = jnp.concatenate([
-            o, d, m, r.t_min[:, None], r.t_max[:, None],
-            jnp.zeros((bp, RAY_COLS - 11), jnp.float32)], axis=1)
-        tn, tc, te = build_block_queue(r, acc.tri_cmin, acc.tri_cmax)
-        sn, sc, se = build_block_queue(r, acc.sph_cmin, acc.sph_cmax)
-        tn, tc, te = _pad_queue_rows([tn, tc, te], nb)
-        sn, sc, se = _pad_queue_rows([sn, sc, se], nb)
-
-        def smem(arr):
-            return pl.BlockSpec((8, arr.shape[1]), lambda i: (i // 8, 0),
-                                memory_space=pltpu.SMEM)
-
-        out = pl.pallas_call(
-            _flash_kernel,
-            grid=(nb,),
-            in_specs=[smem(tn), smem(tc), smem(te),
-                      smem(sn), smem(sc), smem(se),
-                      pl.BlockSpec((BLOCK_R, RAY_COLS), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((BLOCK_R, OUT_COLS), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bp, OUT_COLS), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((BLOCK_R, K), jnp.float32)] * 4 +
-                           [pltpu.VMEM((BLOCK_R, 1), jnp.float32)],
-        )(tn, tc, te, sn, sc, se, packed, acc.tri_feats, acc.sph_feats)
+        out, _ = _flash_raw(acc, rays._replace(t_max=tmax))
         return tmax + (out[:, 0] - out[:, 0])
 
     per, one = scan_phase(kernel_only, rays.t_max)

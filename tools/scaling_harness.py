@@ -83,9 +83,27 @@ def run_devices_mode():
         print(f"devices={n}: {results[-1]['rays_per_s']/1e6:.2f}M rays/s",
               file=sys.stderr)
     base = results[0]["rays_per_s"]
+    t1 = results[0]["seconds"]
     for r in results:
         r["efficiency"] = r["rays_per_s"] / (r["devices"] * base)
-    return {"mode": "virtual-devices", "workload":
+        # On this harness's host the N virtual devices SHARE the same
+        # physical cores, so ideal scaling is a flat wall clock, not Nx
+        # throughput: sharding/collective overhead shows up as wall time
+        # GROWING with N. <= ~1.15 means the shard_map render adds no
+        # measurable per-device overhead; on a pod each axis member is a
+        # real chip and the same code path applies.
+        r["wall_time_ratio_vs_1dev"] = r["seconds"] / t1
+    import multiprocessing
+
+    return {"mode": "virtual-devices",
+            "host_physical_cpus": multiprocessing.cpu_count(),
+            "interpretation": (
+                "N virtual CPU devices oversubscribe the same physical "
+                "cores, so the honest per-N signal is "
+                "wall_time_ratio_vs_1dev ~= 1.0 (zero sharding overhead), "
+                "not rays_per_s ~= N * base. The 'efficiency' column is "
+                "only meaningful when each device is real hardware."),
+            "workload":
             {"scene": SCENE, "width": WIDTH, "height": HEIGHT, "spp": SPP,
              "max_bounce": BOUNCE}, "results": results}
 
