@@ -29,9 +29,12 @@ def main():
     from potato_tpu.render.renderer import compile_frame, render
     from potato_tpu.scene import examples
 
-    # persistent compile cache: first-ever run pays the (remote) compile,
-    # every later process reuses the serialized executable
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # persistent compile cache, repo-local and committed: a fresh machine
+    # image (the driver wipes /tmp every round) still warm-starts
+    from potato_tpu.cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    print(f"compile cache: {cache_dir}", file=sys.stderr)
 
     width, height, spp, max_bounce = 800, 600, 4, 8
     t0 = time.time()

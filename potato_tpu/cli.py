@@ -35,7 +35,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="single-dispatch render without per-chunk progress")
     p.add_argument("--cluster-size", type=int, default=64)
     p.add_argument("--chunk-size", type=int, default=None,
-                   help="rays per jit call (default: min(total, 2^18))")
+                   help="rays per jit call (default: min(total, 2^15))")
+    p.add_argument("--no-jitter", action="store_true",
+                   help="regular-grid pixel sampling (reference "
+                        "Multisampler::make_uv, src/render.rs:66-71) "
+                        "instead of jittered")
     p.add_argument("--assets", default=None, help="assets directory override")
 
 
@@ -74,8 +78,11 @@ def main(argv=None):
 
     import numpy as np
 
+    from potato_tpu.cache import enable_persistent_cache
     from potato_tpu.io import tga
     from potato_tpu.render.renderer import render
+
+    enable_persistent_cache()
 
     if args.scene not in examples.SCENES:
         print(f"unknown scene {args.scene!r}; try list-scenes", file=sys.stderr)
@@ -93,7 +100,8 @@ def main(argv=None):
     t0 = time.time()
     out = render(scene, args.width, args.height, spp=args.spp,
                  max_bounce=args.max_bounce, seed=args.seed,
-                 chunk_size=args.chunk_size, progress=show_progress)
+                 chunk_size=args.chunk_size, progress=show_progress,
+                 jitter=not args.no_jitter)
     dt = time.time() - t0
     print(f"Rendering done in {dt:.2f} seconds "
           f"({out.segments / dt / 1e6:.1f}M rays/s)", file=sys.stderr)

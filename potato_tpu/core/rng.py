@@ -28,8 +28,10 @@ _PARITY = np.uint32(0x1BD11BDA)
 STREAM_PIXEL_JITTER = 0
 STREAM_LENS = 1
 STREAM_SCATTER_A = 2   # lambert sphere / metal ball sample (2 uniforms)
-STREAM_SCATTER_B = 3   # third uniform for the ball radius
-STREAM_DIELECTRIC = 4  # reflect-vs-refract bernoulli
+STREAM_SCATTER_B = 3   # word 0: ball radius; word 1: dielectric bernoulli
+STREAM_DIELECTRIC = 4  # unused since round 4 (the bernoulli draw rides
+                       # SCATTER_B's second word); kept so old checkpoints'
+                       # stream numbering stays documented
 NUM_STREAMS = 8
 
 

@@ -22,6 +22,16 @@ from potato_tpu.render.renderer import make_intersect_fn, render_chunk
 from potato_tpu.scene.tables import CompiledScene, SceneTables
 
 # Differentiable leaves of SceneTables, by field name.
+#
+# Every field below is differentiable on EVERY accel, including the
+# production flash kernel: the kernel detaches only the hit decision
+# (t and winning primitive slot, ops/flash.py), while these parameters
+# enter the radiance through the shade-table gather, material evaluation
+# and texture sampling — all in differentiable XLA. Pinned against finite
+# differences on both brute and flash paths in tests/test_gradients.py.
+# What is NOT differentiable anywhere here is d(hit decision)/d(geometry)
+# (triangle vertex positions moving silhouettes), which none of these
+# fields touch.
 DIFFERENTIABLE_FIELDS = (
     "atlas",            # image texture texels
     "t_color",          # solid texture colors

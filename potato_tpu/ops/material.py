@@ -27,7 +27,14 @@ import jax.numpy as jnp
 from potato_tpu.core import math as pmath
 from potato_tpu.core import sampling
 from potato_tpu.core.types import HitBatch
-from potato_tpu.ops.texture import sample_texture
+from potato_tpu.ops.texture import CHECKER_DEPTH, sample_texture
+
+
+def _checker_depth(features) -> int:
+    """Scene-exact checker unroll depth (compile_scene computes it from the
+    texture graph); the legacy default when no feature set is supplied."""
+    return getattr(features, "checker_depth", CHECKER_DEPTH) \
+        if features is not None else CHECKER_DEPTH
 from potato_tpu.scene import description as d
 
 
@@ -70,7 +77,7 @@ def eval_emit(tables, kind, color, tex, ray_direction, hit: HitBatch,
         out = jnp.where((kind == d.EMIT_SKY_GRADIENT)[..., None], sky, out)
     if _used(ek, d.EMIT_SKY_SPHERE):
         sphere_tex = sample_texture(tables, tex, hit.position, hit.uv,
-                                    kinds=tk)
+                                    depth=_checker_depth(features), kinds=tk)
         out = jnp.where((kind == d.EMIT_SKY_SPHERE)[..., None],
                         sphere_tex, out)
     return out
@@ -87,7 +94,8 @@ def eval_absorb(tables, kind, color, tex, hit: HitBatch, features=None):
     if _used(ak, d.ABSORB_ALBEDO):
         out = jnp.where((kind == d.ABSORB_ALBEDO)[..., None], color, out)
     if _used(ak, d.ABSORB_ALBEDO_MAP):
-        mapped = sample_texture(tables, tex, hit.position, hit.uv, kinds=tk)
+        mapped = sample_texture(tables, tex, hit.position, hit.uv,
+                                depth=_checker_depth(features), kinds=tk)
         out = jnp.where((kind == d.ABSORB_ALBEDO_MAP)[..., None], mapped, out)
     return out
 

@@ -19,19 +19,26 @@ from potato_tpu.scene.tables import CameraTables
 
 
 def generate_rays(camera: CameraTables, width: int, height: int, spp: int,
-                  ray_ids, seed) -> RayBatch:
+                  ray_ids, seed, jitter: bool = True) -> RayBatch:
     """ray_ids (B,) int32 global ids in [0, width*height*spp).
 
     id -> pixel = id // spp (row-major i + j*width), sample = id % spp.
     Jitter and lens draws are threefry streams keyed on the ray id.
+
+    jitter=False uses the reference's regular-grid `Multisampler::make_uv`
+    (src/render.rs:66-71): uv = (i/width, j/height), every sample of a
+    pixel identical (only the lens draw then differs between samples).
     """
     ray_ids = ray_ids.astype(jnp.uint32)
     pixel = (ray_ids // jnp.uint32(spp)).astype(jnp.int32)
     i = (pixel % width).astype(jnp.float32)
     j = (pixel // width).astype(jnp.float32)
 
-    # pixel jitter (reference Multisampler::make_uv_jitter, render.rs:74-82)
-    j1, j2 = prng.uniform2(seed, prng.STREAM_PIXEL_JITTER, ray_ids)
+    if jitter:
+        # pixel jitter (reference Multisampler::make_uv_jitter, render.rs:74-82)
+        j1, j2 = prng.uniform2(seed, prng.STREAM_PIXEL_JITTER, ray_ids)
+    else:
+        j1 = j2 = jnp.zeros_like(i)
     u = (i + j1) / jnp.float32(width)
     v = (j + j2) / jnp.float32(height)
 

@@ -129,10 +129,13 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
             t=jnp.where(v1, hit.t, 1.0),
         )
 
-        # per-bounce scatter uniforms, keyed (seed, bounce stream, ray id)
+        # per-bounce scatter uniforms, keyed (seed, bounce stream, ray id).
+        # Two threefry blocks per bounce: (u1, u2) from SCATTER_A and
+        # (u3, u4) from SCATTER_B — the dielectric Bernoulli draw rides
+        # SCATTER_B's second word instead of burning a third block
+        # (~1/3 of per-bounce RNG cost; mirrored in tests/oracle.py).
         u1, u2 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ray_ids)
-        u3, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_ids)
-        u4, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_ids)
+        u3, u4 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_ids)
 
         mat = eval_material(tables, hit.material, state.rays.direction, hit,
                             u1, u2, u3, u4, features=features,

@@ -41,6 +41,25 @@ class RenderOutput:
         return np.asarray(pcolor.to_srgb_u8(jnp.asarray(self.color)))
 
 
+def scene_digest(scene: CompiledScene) -> int:
+    """Order-stable 63-bit digest of the scene content (tables + camera).
+
+    Folded into the render-checkpoint signature so a checkpoint written for
+    one scene can never be resumed into a render of another (or of the same
+    scene after edits). Fetches the tables to the host once — only called
+    on checkpointing paths.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for leaf in jax.tree_util.tree_leaves((scene.tables, scene.camera)):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return int.from_bytes(h.digest(), "little") >> 1  # fits int64
+
+
 def make_intersect_fn(scene: CompiledScene):
     """Pick the acceleration entry point compiled into the render fn.
 
@@ -116,9 +135,10 @@ def tile_unswizzle_perm(width: int, height: int, spp: int) -> np.ndarray:
 def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  spp, max_bounce, seed, features=None,
                  early_exit: bool = False, live=None,
-                 ior_score: bool = False) -> TraceResult:
+                 ior_score: bool = False, jitter: bool = True) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
-    rays = generate_rays(camera, width, height, spp, ray_ids, seed)
+    rays = generate_rays(camera, width, height, spp, ray_ids, seed,
+                         jitter=jitter)
     return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed,
                        features=features, early_exit=early_exit, live=live,
                        ior_score=ior_score)
@@ -126,7 +146,7 @@ def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
 
 def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
                     max_bounce: int, chunk_size: int,
-                    per_chunk: bool = False):
+                    per_chunk: bool = False, jitter: bool = True):
     """One jitted function rendering ALL chunks of a frame in one dispatch.
 
     `seed` and the chunk start offsets are dynamic arguments, so reseeding
@@ -153,7 +173,7 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
                             height=height, spp=spp,
                             max_bounce=max_bounce, seed=seed,
                             features=scene.features, early_exit=True,
-                            live=raw < jnp.uint32(total))
+                            live=raw < jnp.uint32(total), jitter=jitter)
 
     if per_chunk:
         return jax.jit(one_chunk)
@@ -179,7 +199,7 @@ def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
         chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
-    key = (width, height, spp, max_bounce, chunk_size, False)
+    key = (width, height, spp, max_bounce, chunk_size, False, True)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
@@ -195,7 +215,8 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
            progress: bool = False,
            with_aovs: bool = True,
            checkpoint_path: Optional[str] = None,
-           checkpoint_every: int = 1) -> RenderOutput:
+           checkpoint_every: int = 1,
+           jitter: bool = True) -> RenderOutput:
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
     src/main.rs:13-32).
 
@@ -217,11 +238,12 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     num_chunks = (total + chunk_size - 1) // chunk_size
     per_chunk = progress or checkpoint_path is not None
 
-    key = (width, height, spp, max_bounce, chunk_size, per_chunk)
+    key = (width, height, spp, max_bounce, chunk_size, per_chunk, jitter)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, per_chunk=per_chunk)
+                                   chunk_size, per_chunk=per_chunk,
+                                   jitter=jitter)
         scene.fn_cache[key] = frame_fn
 
     # fixed chunk shape: the tail chunk's out-of-range lanes are born dead
@@ -235,10 +257,16 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
         import os
         import sys
 
-        # the checkpoint is only valid for an identical render request
+        # The checkpoint is only valid for an identical render request OF
+        # THE SAME SCENE: the signature folds in a digest of the scene
+        # tables + camera so editing the scene (or pointing a different
+        # scene at the same path) invalidates stale chunks instead of
+        # silently resuming into a mixed frame.
         signature = np.asarray([width, height, spp, max_bounce, seed,
-                                chunk_size], np.int64)
-        chunks = []
+                                chunk_size, int(jitter),
+                                scene_digest(scene)], np.int64)
+        chunks = []      # device (or resumed-host) TraceResults, in order
+        host_chunks = []  # numpy copies already serialized to the checkpoint
         if checkpoint_path and os.path.exists(checkpoint_path):
             ckpt = np.load(checkpoint_path)
             if np.array_equal(ckpt["signature"], signature):
@@ -248,19 +276,26 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
                         aov_normal=ckpt["aov_normal"][i],
                         aov_hit=ckpt["aov_hit"][i],
                         segments=ckpt["segments"][i]))
+                host_chunks = [jax.tree_util.tree_map(np.asarray, c)
+                               for c in chunks]
                 if progress and chunks:
                     print(f"[resumed at chunk {len(chunks)}/{num_chunks}]",
                           file=sys.stderr, flush=True)
 
         def save_checkpoint():
-            host = [jax.tree_util.tree_map(np.asarray, c) for c in chunks]
+            # each chunk is fetched to the host exactly once (host_chunks
+            # caches the numpy copies), so a save is O(new chunks) transfer
+            # + O(total) local stacking, not O(n^2) device fetches
+            while len(host_chunks) < len(chunks):
+                host_chunks.append(jax.tree_util.tree_map(
+                    np.asarray, chunks[len(host_chunks)]))
             tmp = checkpoint_path + ".tmp.npz"
             with open(tmp, "wb") as f:
-                np.savez(f, signature=signature, chunks_done=len(host),
-                         color=np.stack([c.color for c in host]),
-                         aov_normal=np.stack([c.aov_normal for c in host]),
-                         aov_hit=np.stack([c.aov_hit for c in host]),
-                         segments=np.stack([c.segments for c in host]))
+                np.savez(f, signature=signature, chunks_done=len(host_chunks),
+                         color=np.stack([c.color for c in host_chunks]),
+                         aov_normal=np.stack([c.aov_normal for c in host_chunks]),
+                         aov_hit=np.stack([c.aov_hit for c in host_chunks]),
+                         segments=np.stack([c.segments for c in host_chunks]))
             os.replace(tmp, checkpoint_path)  # atomic: never a torn file
 
         for i in range(len(chunks), num_chunks):

@@ -128,10 +128,9 @@ def build_pool_fn(scene: CompiledScene, width: int, height: int, spp: int,
             # per-lane bounce depth => per-lane salts (arrays broadcast)
             u1, u2 = prng.uniform2(
                 seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ray_id)
-            u3, _ = prng.uniform2(
+            # (u3, u4) share one SCATTER_B block (render/integrator.py)
+            u3, u4 = prng.uniform2(
                 seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ray_id)
-            u4, _ = prng.uniform2(
-                seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ray_id)
 
             mat = eval_material(tables, hit.material, rays.direction, hit,
                                 u1, u2, u3, u4, features=features)

@@ -94,6 +94,12 @@ class SceneFeatures(NamedTuple):
     absorb_kinds: frozenset
     emit_kinds: frozenset    # includes the background kind
     texture_kinds: frozenset
+    # static unroll depth of the checker recursion: the length of the
+    # longest Checker chain in the scene's texture graph (computed by
+    # compile_scene, which also rejects cycles — improving on the
+    # reference's unguarded recursion, src/texture.rs:51-60 and its own
+    # TODO at example_scenes.rs:11-12)
+    checker_depth: int = 2
 
 
 def all_features() -> SceneFeatures:
@@ -131,6 +137,37 @@ class CompiledScene:
     # compiled-frame cache: (w, h, spp, bounce, chunk, sort) -> jitted fn,
     # so repeated renders of the same shape never retrace (renderer.py)
     fn_cache: dict = field(default_factory=dict)
+
+
+def _checker_depth(texs) -> int:
+    """Length of the longest Checker chain in the texture graph.
+
+    The reference's `Texture::Checker` recursion is arbitrary-depth and
+    cycle-unsafe (src/texture.rs:51-60; its own TODO example_scenes.rs:11-12
+    notes the missing cycle detection). Computing the exact chain depth at
+    scene-compile time lets the device sampler unroll exactly as deep as
+    the scene needs — no silent truncation — and a cyclic graph is a
+    compile-time error instead of an infinite recursion.
+    """
+    from potato_tpu.scene import description as d
+
+    depth_memo: dict = {}
+
+    def depth_of(i: int, trail: tuple) -> int:
+        if i in trail:
+            cycle = " -> ".join(str(j) for j in trail + (i,))
+            raise ValueError(f"checker texture cycle: {cycle}")
+        if i in depth_memo:
+            return depth_memo[i]
+        t = texs[i]
+        if t.kind != d.TEX_CHECKER:
+            out = 0
+        else:
+            out = 1 + max(depth_of(int(c), trail + (i,)) for c in t.children)
+        depth_memo[i] = out
+        return out
+
+    return max((depth_of(i, ()) for i in range(len(texs))), default=0)
 
 
 def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
@@ -288,6 +325,7 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
         emit_kinds=(frozenset(m.emit.kind for m in mats)
                     | {builder.background.kind}),
         texture_kinds=frozenset(t.kind for t in texs),
+        checker_depth=_checker_depth(texs),
     )
 
     # single tree-wide upload (accel leaves are already device arrays)

@@ -203,8 +203,9 @@ def eval_emit(scene, kind, color, tex, direction, hit):
 def eval_material(scene, mid, direction, hit, ray_id, bounce, seed):
     t = scene.t
     u1, u2 = _uniforms(seed, int(prng.bounce_salt(bounce, prng.STREAM_SCATTER_A)), ray_id)
-    u3, _ = _uniforms(seed, int(prng.bounce_salt(bounce, prng.STREAM_SCATTER_B)), ray_id)
-    u4, _ = _uniforms(seed, int(prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC)), ray_id)
+    # (u3, u4) share one SCATTER_B block — must mirror the integrator's
+    # stream layout exactly (render/integrator.py bounce_step)
+    u3, u4 = _uniforms(seed, int(prng.bounce_salt(bounce, prng.STREAM_SCATTER_B)), ray_id)
 
     normal = hit["normal"]
     skind = int(t["m_scatter_kind"][mid])
