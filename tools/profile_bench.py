@@ -101,8 +101,7 @@ def main():
 
     def shade(h, r):
         u1, u2 = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_A), ids)
-        u3, _ = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_B), ids)
-        u4, _ = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_DIELECTRIC), ids)
+        u3, u4 = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_B), ids)
         return eval_material(scene.tables, h.material, r.direction, h,
                              u1, u2, u3, u4, features=scene.features)
 

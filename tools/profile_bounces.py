@@ -59,8 +59,7 @@ def main():
 
     def shade(h, r, bounce):
         u1, u2 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_A), ids)
-        u3, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ids)
-        u4, _ = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_DIELECTRIC), ids)
+        u3, u4 = prng.uniform2(seed, prng.bounce_salt(bounce, prng.STREAM_SCATTER_B), ids)
         v3 = h.valid[..., None]
         h = h._replace(position=jnp.where(v3, h.position, 0.0),
                        normal=jnp.where(v3, h.normal, jnp.asarray([0., 0., 1.])),

@@ -83,7 +83,7 @@ def main():
             f"sph visits {s_visits} ({s_visits/nb:.1f}/blk)")
 
         def kernel_call(tmax, rays=rays):
-            out, _ = _flash_raw(acc, rays._replace(t_max=tmax))
+            out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax))
             return tmax + (out[:, 0] - out[:, 0])
 
         per = scan_phase(kernel_call, rays.t_max)
@@ -91,7 +91,7 @@ def main():
 
         # dead rays => empty queues: pure fixed per-block cost
         def kernel_dead(tmax, rays=rays):
-            out, _ = _flash_raw(acc, rays._replace(t_max=tmax * 0.0 - 1.0))
+            out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax * 0.0 - 1.0))
             return tmax + (out[:, 0] - out[:, 0])
 
         per = scan_phase(kernel_dead, rays.t_max)

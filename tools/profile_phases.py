@@ -118,8 +118,7 @@ def main():
     # shade: carry = seed
     def shade_phase(seed):
         u1, u2 = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_A), ids)
-        u3, _ = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_B), ids)
-        u4, _ = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_DIELECTRIC), ids)
+        u3, u4 = prng.uniform2(seed, prng.bounce_salt(0, prng.STREAM_SCATTER_B), ids)
         m = eval_material(scene.tables, hit.material, rays.direction, hit,
                           u1, u2, u3, u4, features=scene.features)
         return seed + (m.emit[0, 0] * 255).astype(jnp.uint32)
@@ -131,7 +130,7 @@ def main():
     from potato_tpu.ops.flash import _flash_raw
 
     def kernel_only(tmax):
-        out, _ = _flash_raw(acc, rays._replace(t_max=tmax))
+        out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax))
         return tmax + (out[:, 0] - out[:, 0])
 
     per, one = scan_phase(kernel_only, rays.t_max)
