@@ -12,6 +12,11 @@ import numpy as np
 from potato_tpu.render.renderer import render
 from potato_tpu.scene import examples
 
+import pytest
+
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _truncate_checkpoint(path, keep):
     """Simulate a crash: rewrite the checkpoint as if only `keep` chunks

@@ -16,6 +16,9 @@ from test_traverse import (  # noqa: E402
     _random_tri_scene,
 )
 
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _assert_same(scene, rays, atol=2e-3):
     brute = intersect_brute_force(scene.tables, rays)

@@ -8,6 +8,9 @@ import pytest
 
 from potato_tpu.io import obj, tga
 
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 ASSETS = "/root/reference/assets"
 
 OBJ_TEXT = """

@@ -11,6 +11,11 @@ from potato_tpu.scene.description import (
     Absorb, Emit, Material, Scatter, SceneBuilder, Texture,
 )
 
+import pytest
+
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _tables(materials, textures=()):
     s = SceneBuilder()

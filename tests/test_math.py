@@ -11,6 +11,9 @@ import pytest
 from potato_tpu.core import math as pmath
 from potato_tpu.core.types import make_rays
 
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def test_reflect_mirror():
     d = jnp.array([[1.0, -1.0, 0.0]]) / np.sqrt(2.0)

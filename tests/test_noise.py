@@ -11,6 +11,11 @@ import numpy as np
 
 from potato_tpu.core import noise
 
+import pytest
+
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 _M64 = (1 << 64) - 1
 
 

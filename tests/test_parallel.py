@@ -103,3 +103,35 @@ def test_sharded_train_step_reduces_loss():
     assert float(loss0) > 0.0
     assert float(loss1) < float(loss0), (float(loss0), float(loss1))
     assert np.isfinite(np.asarray(atlas1)).all()
+
+
+def test_sharded_wall_time_ratio_regression(scene):
+    """Sharding overhead regression gate (VERDICT r3 #4): on this host the
+    8 virtual devices SHARE the same physical cores, so ideal scaling is a
+    FLAT wall clock vs the 1-device mesh — growth means the shard_map
+    render added per-device overhead (bad collectives, replication copies,
+    or resharding). Gate at 1.35x (the EFFICIENCY.json curve on an idle
+    box sits near 1.0; CI noise and core contention need headroom).
+    """
+    import time
+
+    w = h = 32
+    spp = 4
+    total = w * h * spp
+    ids = jnp.arange(total, dtype=jnp.uint32)
+
+    times = {}
+    for n in (1, 8):
+        mesh = make_ray_mesh(num_devices=n)
+        fn = make_sharded_render_fn(scene, mesh, width=w, height=h, spp=spp,
+                                    max_bounce=4, seed=3)
+        jax.block_until_ready(fn(scene.tables, scene.camera, ids))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(scene.tables, scene.camera, ids))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+
+    ratio = times[8] / times[1]
+    assert ratio <= 1.35, f"8-device wall time {ratio:.2f}x the 1-device mesh"

@@ -103,5 +103,9 @@ def test_glass_bunny_matches_oracle():
     # In the default suite since the oracle's primitive loops were
     # vectorized (~15 s) — every one of the 7 reference scenes is now
     # exercised against the oracle by default.
+    # The deep-dielectric paths make this the most chaotic scene in the
+    # f32-vs-f64 sense: flipped-pixel counts measured over seeds 7..10
+    # are {2, 1, 0, 0} (each flip is one sample rerouted at a grazing
+    # interface), so the gate allows 2% of this 12x12 frame (3 pixels).
     _compare(examples.glass_bunny(), accel="cluster", size=12, max_bounce=6,
-             mismatch_frac=0.01)
+             mismatch_frac=0.02)

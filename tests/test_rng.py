@@ -5,6 +5,11 @@ import numpy as np
 
 from potato_tpu.core import rng as prng
 
+import pytest
+
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def test_deterministic_and_chunk_invariant():
     ids = jnp.arange(1 << 12, dtype=jnp.uint32)

@@ -7,6 +7,11 @@ import numpy as np
 from potato_tpu.core import rng as prng
 from potato_tpu.core import sampling
 
+import pytest
+
+# sub-second unit tier: the pre-commit gate (tools/cpupytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _uniforms(n, seed=0):
     ids = jnp.arange(n, dtype=jnp.uint32)
