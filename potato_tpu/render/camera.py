@@ -19,7 +19,8 @@ from potato_tpu.scene.tables import CameraTables
 
 
 def generate_rays(camera: CameraTables, width: int, height: int, spp: int,
-                  ray_ids, seed, jitter: bool = True) -> RayBatch:
+                  ray_ids, seed, jitter: bool = True,
+                  lens: bool = True) -> RayBatch:
     """ray_ids (B,) int32 global ids in [0, width*height*spp).
 
     id -> pixel = id // spp (row-major i + j*width), sample = id % spp.
@@ -42,9 +43,17 @@ def generate_rays(camera: CameraTables, width: int, height: int, spp: int,
     u = (i + j1) / jnp.float32(width)
     v = (j + j2) / jnp.float32(height)
 
-    # lens disk sample (reference Camera::shoot, render.rs:35-37)
-    l1, l2 = prng.uniform2(seed, prng.STREAM_LENS, ray_ids)
-    disk = sampling.unit_disk(l1, l2) * camera.lens_radius
+    if lens:
+        # lens disk sample (reference Camera::shoot, render.rs:35-37)
+        l1, l2 = prng.uniform2(seed, prng.STREAM_LENS, ray_ids)
+        disk = sampling.unit_disk(l1, l2) * camera.lens_radius
+    else:
+        # pinhole camera (lens_radius == 0, statically known from the
+        # scene): the disk sample is all-zero anyway — skip its threefry
+        # block + sincos + sqrt. Bit-identical: STREAM_LENS is a
+        # dedicated counter stream, so no other draw shifts.
+        l1 = jnp.zeros_like(i)
+        disk = jnp.zeros(i.shape + (2,), jnp.float32)
 
     # local-frame origin and direction (render.rs:38-45); X right, Y up,
     # Z behind => forward is -Z

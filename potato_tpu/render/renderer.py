@@ -137,8 +137,9 @@ def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  early_exit: bool = False, live=None,
                  ior_score: bool = False, jitter: bool = True) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
-    rays = generate_rays(camera, width, height, spp, ray_ids, seed,
-                         jitter=jitter)
+    rays = generate_rays(
+        camera, width, height, spp, ray_ids, seed, jitter=jitter,
+        lens=features.has_lens if features is not None else True)
     return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed,
                        features=features, early_exit=early_exit, live=live,
                        ior_score=ior_score)

@@ -94,6 +94,11 @@ class SceneFeatures(NamedTuple):
     absorb_kinds: frozenset
     emit_kinds: frozenset    # includes the background kind
     texture_kinds: frozenset
+    # the camera's thin lens is disabled (lens_radius == 0): ray
+    # generation then skips the unit-disk sample entirely — one fewer
+    # sincos+sqrt per camera ray (several reference scenes, bunny
+    # included, use a pinhole camera)
+    has_lens: bool = True
     # static unroll depth of the checker recursion: the length of the
     # longest Checker chain in the scene's texture graph (computed by
     # compile_scene, which also rejects cycles — improving on the
@@ -325,6 +330,7 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
         emit_kinds=(frozenset(m.emit.kind for m in mats)
                     | {builder.background.kind}),
         texture_kinds=frozenset(t.kind for t in texs),
+        has_lens=bool(float(cam.lens_radius) > 0.0),
         checker_depth=_checker_depth(texs),
     )
 
