@@ -143,3 +143,63 @@ def test_fuzz_gradient_is_finite_and_nonzero():
 
     g = jax.grad(f)(jnp.float32(0.3))
     assert np.isfinite(float(g)) and abs(float(g)) > 1e-6
+
+
+def test_checker_depth_derived_from_texture_graph():
+    """A checker-of-checker chain deeper than the old static unroll (2)
+    must sample the leaf colors, not silently go black (round-3 verdict
+    item: the reference's recursion is arbitrary-depth,
+    src/texture.rs:51-60)."""
+    import jax.numpy as jnp
+
+    from potato_tpu.scene.description import (
+        Absorb, Emit, Material, Scatter, SceneBuilder, Texture,
+    )
+
+    s = SceneBuilder()
+    red = s.add_texture(Texture.solid(1.0, 0.0, 0.0))
+    blue = s.add_texture(Texture.solid(0.0, 0.0, 1.0))
+    c1 = s.add_texture(Texture.checker(red, blue))     # depth 1
+    c2 = s.add_texture(Texture.checker(c1, red))       # depth 2
+    c3 = s.add_texture(Texture.checker(c2, blue))      # depth 3
+    m = s.add_material(Material(Scatter.lambert(),
+                                Absorb.albedo_map(c3), Emit.none()))
+    s.add_sphere((0.0, 0.0, 0.0), 1.0, m)
+    scene = s.build(accel="brute")
+    assert scene.features.checker_depth == 3
+
+    # a position whose parity chain reaches the depth-1 checker's leaves:
+    # every level must recurse, never truncate to black
+    pos = jnp.array([[0.5, 0.5, 0.5]])   # all floors even -> even branch
+    out = sample_texture(scene.tables, jnp.array([c3]), pos,
+                         jnp.zeros((1, 2)), depth=scene.features.checker_depth)
+    # even(c3)->blue? c3 children=(odd=c2, even=blue): even pos -> blue
+    np.testing.assert_allclose(np.asarray(out)[0], [0.0, 0.0, 1.0])
+    # odd position: c3 -> c2; at the same point parity is odd everywhere:
+    # c2 children=(odd=c1, even=red) -> c1; c1 children=(odd=red, even=blue)
+    pos_odd = jnp.array([[1.5, 0.5, 0.5]])
+    out_odd = sample_texture(scene.tables, jnp.array([c3]), pos_odd,
+                             jnp.zeros((1, 2)),
+                             depth=scene.features.checker_depth)
+    np.testing.assert_allclose(np.asarray(out_odd)[0], [1.0, 0.0, 0.0])
+
+
+def test_checker_cycle_is_compile_error():
+    """A cyclic checker graph must fail scene compilation (the reference
+    has no cycle detection — its own TODO, example_scenes.rs:11-12)."""
+    import pytest as _pytest
+
+    from potato_tpu.scene.description import (
+        Absorb, Emit, Material, Scatter, SceneBuilder, Texture,
+    )
+
+    s = SceneBuilder()
+    red = s.add_texture(Texture.solid(1.0, 0.0, 0.0))
+    c1 = s.add_texture(Texture.checker(red, red))
+    # rewire c1 onto itself: checker -> checker -> ... forever
+    s.textures[c1] = Texture.checker(c1, red)
+    m = s.add_material(Material(Scatter.lambert(),
+                                Absorb.albedo_map(c1), Emit.none()))
+    s.add_sphere((0.0, 0.0, 0.0), 1.0, m)
+    with _pytest.raises(ValueError, match="cycle"):
+        s.build(accel="brute")
