@@ -74,9 +74,15 @@ R = 512        # rays per block (one grid step)
 K = 128        # primitives per parent cluster (one lane tile)
 W = 16         # primitives per child cluster (packing granularity)
 CPP = K // W   # children per parent (8)
-TOP_P = 6      # packed-visit capacity per block (<= TOP_P*CPP nearest
+TOP_P = 2      # packed-visit capacity per block (<= TOP_P*CPP nearest
                # children pack into <= TOP_P 128-prim visits; overflow
-               # falls back to whole-parent tail visits)
+               # falls back to whole-parent tail visits). Swept on v5e:
+               # 6 -> 4 -> 3 -> 2 -> 1 gives 165/151/128/126/128 ms bunny
+               # frames — the packed gather + per-block DMA scale with the
+               # CAPACITY (sentinel rows included), ~13 ms/frame per slot,
+               # while the mean camera block only fills ~1.4 slots; at 1
+               # the overflow tail (whole 128-prim parents) starts costing
+               # more than the slot saves.
 SPH_BRUTE_MAX = 16  # sphere count at/below which spheres are tested in XLA
 RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5),  m = d x o
 OUT_COLS = 8   # tri: t slot | sph: t slot | pad(4)
