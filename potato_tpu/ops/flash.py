@@ -1012,13 +1012,25 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
     d = rays.direction
     sphere_wins = s_hit & (~tr_hit | (s_t <= tr_t))
     uslot = jnp.where(sphere_wins, ntp + s_slot, tr_slot)
-    # ONE per-ray row gather — immediately transposed to (25, B) so every
-    # downstream value is a full-lane (B,) vector. Working directly on
-    # (B, 25)-row slices lets XLA's layout assignment anchor the whole
-    # bounce loop's ray state to {1,0:T(8,128)} — 3 useful lanes of 128
-    # per vector op (measured 2.5x on the frame). The one transpose is
-    # 3 MB/chunk; the layout flip it prevents cost ~250 ms/frame.
-    gt = unified[uslot].T                   # (25, B)
+    # ONE per-ray row gather, transposed to (26, B) THROUGH A DOT with a
+    # constant selector so every downstream value is a full-lane (B,)
+    # row. Two traps this dodges (both measured):
+    # - working on (B, 25) column slices anchors the whole bounce loop's
+    #   ray state to {1,0:T(8,128)} — 3 useful lanes of 128, 2.5x frame;
+    # - a plain .T is absorbed as a LAYOUT, and every row extraction
+    #   then reads stride-25 elements (~32 ms/frame across ~9 rows).
+    # The dot forces one real materialization in row-contiguous layout on
+    # the MXU (52 MFLOP — trivial); the selector is (26, 25) rather than
+    # square identity so the algebraic simplifier cannot fold it back
+    # into a transpose.
+    g = unified[uslot]                      # (B, 25) {1,0}
+    sel = jnp.concatenate(
+        [jnp.eye(25, dtype=jnp.float32), jnp.zeros((1, 25), jnp.float32)])
+    gt = jax.lax.dot_general(sel, g, (((1,), (1,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)  # (26, B)
+    # HIGHEST: the TPU's default matmul precision truncates operands to
+    # bf16 — silent corruption of normals/corners; with exact 0/1
+    # selector entries and full precision the products are exact.
 
     s_t_safe = jnp.where(s_hit, s_t, 1.0)
     tr_t_safe = jnp.where(tr_hit, tr_t, 1.0)
