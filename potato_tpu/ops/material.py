@@ -51,14 +51,17 @@ def _used(kinds, k):
 
 
 def eval_emit(tables, kind, color, tex, ray_direction, hit: HitBatch,
-              features=None):
+              features=None, kinds=None):
     """Emission (reference src/material.rs:49-60). `kind/color/tex` are the
     per-lane gathered emit fields (also used for the scene background with
     broadcast scalars and an at-infinity hit).
 
     `features` (SceneFeatures or None = all) statically skips variants the
-    scene never selects."""
-    ek = features.emit_kinds if features is not None else None
+    scene never selects; `kinds` overrides the emit-kind set (the material
+    eval passes the material-only set so the background's kind does not
+    drag, e.g., the SkySphere atlas gather into every hit lane)."""
+    ek = kinds if kinds is not None else (
+        features.emit_kinds if features is not None else None)
     tk = features.texture_kinds if features is not None else None
 
     out = jnp.zeros_like(color)                                   # EMIT_NONE
@@ -201,7 +204,9 @@ def eval_material(tables, material_id, ray_direction, hit: HitBatch,
         tables.m_absorb_tex[mid], hit, features=features)
     emit = eval_emit(
         tables, tables.m_emit_kind[mid], tables.m_emit_color[mid],
-        tables.m_emit_tex[mid], ray_direction, hit, features=features)
+        tables.m_emit_tex[mid], ray_direction, hit, features=features,
+        kinds=(getattr(features, "material_emit_kinds", None)
+               if features is not None else None))
     if ior_score:
         absorb = absorb * scatter.weight[..., None]
     return MaterialOutput(scatter=scatter, absorb=absorb, emit=emit)

@@ -105,6 +105,12 @@ class SceneFeatures(NamedTuple):
     # reference's unguarded recursion, src/texture.rs:51-60 and its own
     # TODO at example_scenes.rs:11-12)
     checker_depth: int = 2
+    # material-only emit kinds (background excluded): the per-hit material
+    # emission eval uses this set, so a scene whose background is an
+    # atlas-backed SkySphere does not re-evaluate the env-map gather +
+    # equirect transcendentals for every HIT lane every bounce (~6 ms per
+    # bunny frame). None = fall back to emit_kinds.
+    material_emit_kinds: frozenset = None
 
 
 def all_features() -> SceneFeatures:
@@ -116,6 +122,9 @@ def all_features() -> SceneFeatures:
             (d.ABSORB_BLACK_BODY, d.ABSORB_WHITE_BODY, d.ABSORB_ALBEDO,
              d.ABSORB_ALBEDO_MAP)),
         emit_kinds=frozenset(
+            (d.EMIT_NONE, d.EMIT_DEBUG_NORMALS, d.EMIT_COLOR,
+             d.EMIT_SKY_GRADIENT, d.EMIT_SKY_SPHERE)),
+        material_emit_kinds=frozenset(
             (d.EMIT_NONE, d.EMIT_DEBUG_NORMALS, d.EMIT_COLOR,
              d.EMIT_SKY_GRADIENT, d.EMIT_SKY_SPHERE)),
         texture_kinds=frozenset(
@@ -329,6 +338,7 @@ def compile_scene(builder: "d.SceneBuilder", accel: str = "auto",
         absorb_kinds=frozenset(m.absorb.kind for m in mats),
         emit_kinds=(frozenset(m.emit.kind for m in mats)
                     | {builder.background.kind}),
+        material_emit_kinds=frozenset(m.emit.kind for m in mats),
         texture_kinds=frozenset(t.kind for t in texs),
         has_lens=bool(float(cam.lens_radius) > 0.0),
         checker_depth=_checker_depth(texs),
