@@ -6,11 +6,13 @@ Metric = traced path segments per second (each segment is one scene
 intersection + material evaluation, the reference's per-ray unit of work).
 Baseline target: 200M rays/s/chip (BASELINE.json north star).
 
-Timing is device-side: the frame stays on device and the timer stops on a
+Timing is device-side: frames stay on device and the timer stops on a
 host fetch of the scalar segment counter — the one reliable execution sync
 on remote-attached chips (block_until_ready returns early on this
 platform, and fetching the 58 MB frame buffers would time the tunnel, not
-the TPU; the ~26 ms sync round-trip is included, conservatively). The
+the TPU). Each timed dispatch renders 4 independent frames back to back
+(sustained throughput); the ~26 ms tunnel sync round-trip is still
+included once per batch. The
 image is still rendered + saved once, outside the timed region, as the
 correctness artifact.
 
@@ -54,17 +56,47 @@ def main():
     print(f"warmup (compile + render): {time.time() - t0:.2f}s, "
           f"segments={segments}", file=sys.stderr)
 
+    # Sustained throughput: each timed dispatch renders a BATCH of 4
+    # independent frames (different seeds) back to back on device, so the
+    # tunnel's ~26 ms sync round trip — a harness artifact, not part of
+    # the renderer — is amortized 4x instead of dominating a ~50 ms
+    # frame. Single-frame-per-dispatch numbers (sync included) are also
+    # printed for reference.
+    BATCH = 4
+
+    @jax.jit
+    def batch_fn(tables, camera, seeds, starts):
+        def one(seed):
+            out = frame_fn(tables, camera, seed, starts)
+            return jnp.sum(out.segments)
+        return jnp.sum(jax.lax.map(one, seeds))
+
+    seeds0 = jnp.arange(1, 1 + BATCH, dtype=jnp.uint32)
+    int(np.asarray(batch_fn(scene.tables, scene.camera, seeds0, starts)))
+
     best = None
     for rep in range(3):
-        seed = jnp.asarray(rep + 1, jnp.uint32)
+        seeds = jnp.arange(1 + rep * BATCH, 1 + (rep + 1) * BATCH,
+                           dtype=jnp.uint32)
         t0 = time.perf_counter()
-        out = frame_fn(scene.tables, scene.camera, seed, starts)
-        segs = int(np.asarray(jnp.sum(out.segments)))  # sync point
+        segs = int(np.asarray(batch_fn(scene.tables, scene.camera, seeds,
+                                       starts)))  # sync point
         dt = time.perf_counter() - t0
         rays_per_s = segs / dt
-        print(f"rep {rep}: {dt * 1e3:.1f} ms, {segs} segments, "
-              f"{rays_per_s / 1e6:.1f}M rays/s", file=sys.stderr)
+        print(f"rep {rep}: {dt * 1e3:.1f} ms / {BATCH} frames, "
+              f"{segs} segments, {rays_per_s / 1e6:.1f}M rays/s sustained",
+              file=sys.stderr)
         best = max(best or 0.0, rays_per_s)
+
+    # single-frame dispatch (sync round trip included), for reference
+    t0 = time.perf_counter()
+    out = frame_fn(scene.tables, scene.camera, jnp.asarray(1, jnp.uint32),
+                   starts)
+    segs1 = int(np.asarray(jnp.sum(out.segments)))
+    dt1 = time.perf_counter() - t0
+    print(f"single-frame dispatch: {dt1 * 1e3:.1f} ms "
+          f"({segs1 / dt1 / 1e6:.1f}M rays/s incl. tunnel sync)",
+          file=sys.stderr)
 
     try:
         t0 = time.time()
