@@ -109,11 +109,19 @@ def main():
     except Exception as e:  # noqa: BLE001 - bench must still report
         print(f"image save skipped: {e}", file=sys.stderr)
 
+    # Both methodologies in the record (ADVICE r4): `value` is the
+    # sustained series (4 frames per dispatch, tunnel sync amortized) —
+    # the cross-round comparison basis from r4 on; `single_dispatch_*` is
+    # the r1-r3 methodology (one frame per dispatch, ~26 ms tunnel sync
+    # round-trip included) for apples-to-apples history.
     print(json.dumps({
         "metric": "bunny_rays_per_second_per_chip",
         "value": round(best, 1),
         "unit": "rays/s",
         "vs_baseline": round(best / 200e6, 4),
+        "methodology": f"sustained_{BATCH}frames_per_dispatch",
+        "single_dispatch_rays_per_s": round(segs1 / dt1, 1),
+        "single_dispatch_vs_baseline": round(segs1 / dt1 / 200e6, 4),
     }))
 
 

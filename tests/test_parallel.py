@@ -105,6 +105,7 @@ def test_sharded_train_step_reduces_loss():
     assert np.isfinite(np.asarray(atlas1)).all()
 
 
+@pytest.mark.slow
 def test_sharded_wall_time_ratio_regression(scene):
     """Sharding overhead regression gate (VERDICT r3 #4): on this host the
     8 virtual devices SHARE the same physical cores, so ideal scaling is a
@@ -112,6 +113,10 @@ def test_sharded_wall_time_ratio_regression(scene):
     render added per-device overhead (bad collectives, replication copies,
     or resharding). Gate at 1.35x (the EFFICIENCY.json curve on an idle
     box sits near 1.0; CI noise and core contention need headroom).
+
+    Marked slow (perf tier): it asserts wall clock on shared cores, so a
+    loaded CI host can fail it spuriously — run it deliberately, on a
+    quiet box, via `-m slow` (ADVICE r4).
     """
     import time
 

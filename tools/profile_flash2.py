@@ -182,7 +182,7 @@ def main():
     def kernel_phase(tmax):
         out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax),
                                tables=scene.tables)
-        return tmax + (out[:, 0] - out[:, 0])
+        return tmax + (out[0] - out[0])
 
     per, one = scan_phase(kernel_phase, rays.t_max)
     log(f"queue+gather+kernel: {per*1e3:.2f} ms/iter (single {one*1e3:.1f})")

@@ -84,7 +84,7 @@ def main():
 
         def kernel_call(tmax, rays=rays):
             out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax))
-            return tmax + (out[:, 0] - out[:, 0])
+            return tmax + (out[0] - out[0])
 
         per = scan_phase(kernel_call, rays.t_max)
         log(f"{label}: queue+kernel(real) {per*1e3:.2f} ms/iter")
@@ -92,7 +92,7 @@ def main():
         # dead rays => empty queues: pure fixed per-block cost
         def kernel_dead(tmax, rays=rays):
             out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax * 0.0 - 1.0))
-            return tmax + (out[:, 0] - out[:, 0])
+            return tmax + (out[0] - out[0])
 
         per = scan_phase(kernel_dead, rays.t_max)
         log(f"{label}: queue+kernel(all-dead) {per*1e3:.2f} ms/iter")

@@ -131,7 +131,7 @@ def main():
 
     def kernel_only(tmax):
         out, _, _ = _flash_raw(acc, rays._replace(t_max=tmax))
-        return tmax + (out[:, 0] - out[:, 0])
+        return tmax + (out[0] - out[0])
 
     per, one = scan_phase(kernel_only, rays.t_max)
     log(f"queue+kernel (no shade-gather epilogue): {per*1e3:.2f} ms/iter")
