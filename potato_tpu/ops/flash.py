@@ -547,11 +547,18 @@ def build_packed_queue(rays: RayBatch, accel: FlashAccel, block: int = R):
         overflow = child_ok & (centry >= thr)
         par_over = jnp.any(overflow.reshape(nb, cp, CPP), axis=2)
         tail_entry = jnp.where(par_over, entry_p, jnp.inf)
-        tsort = jnp.argsort(tail_entry, axis=1)
-        tail_ids = jnp.take_along_axis(
-            jnp.broadcast_to(jnp.arange(cp, dtype=jnp.int32)[None],
-                             (nb, cp)), tsort, axis=1)
-        tail_sorted = jnp.take_along_axis(tail_entry, tsort, axis=1)
+        # ONE stable multi-operand sort carrying the ids alongside the
+        # keys: the previous argsort + two take_along_axis cost 4.3 ms per
+        # frame (two of the top-6 ops in the r5 trace — take_along_axis on
+        # a (NB, Cp) matrix lowers to an ~8 ns/element scalarized gather),
+        # while lax.sort permutes the id operand in the sort network
+        # itself for ~0.1 ms. is_stable keeps tie order identical to the
+        # stable argsort: bit-identical images.
+        tail_sorted, tail_ids = jax.lax.sort(
+            (tail_entry,
+             jnp.broadcast_to(jnp.arange(cp, dtype=jnp.int32)[None],
+                              (nb, cp))),
+            dimension=1, is_stable=True, num_keys=1)
         qf_tail = jnp.where(jnp.isfinite(tail_sorted), tail_sorted, BIG)
         n_tail = jnp.sum(par_over, axis=1).astype(jnp.int32)
     else:
@@ -559,16 +566,16 @@ def build_packed_queue(rays: RayBatch, accel: FlashAccel, block: int = R):
         qf_tail = jnp.zeros((nb, 0), jnp.float32)
         n_tail = jnp.zeros((nb,), jnp.int32)
 
-    # packed feature tiles: 8 row gathers (one per within-visit position),
-    # concatenated on the prim axis -> child k of visit j occupies prim
-    # rows [W*k, W*(k+1)) — no transpose needed. The visit and prim axes
-    # are then merged: the kernel's per-block input is ONE contiguous
-    # (p_eff*K, F_ROWS) tile (a 4D block spec lowers into hundreds of
-    # tiny strided DMAs — measured ~13 us/block).
+    # packed feature tiles: ONE row gather over all (block, visit, child)
+    # positions at once — index (b, j, k) pulls child row gi[b,j,k] so the
+    # (nb, p_eff, CPP, W, F) result reshapes (pure view) to child k of
+    # visit j at prim rows [W*k, W*(k+1)) of the (p_eff*K, F_ROWS) tile.
+    # (The r4 form issued 8 separate gathers + a concatenate — same bytes,
+    # 8x the gather fixed cost. A 4D block spec on the kernel side is
+    # still avoided: it lowers into hundreds of tiny strided DMAs,
+    # measured ~13 us/block.)
     gi = gidx.reshape(nb, p_eff, CPP)
-    packed = jnp.concatenate(
-        [accel.tri_rows[gi[:, :, k]] for k in range(CPP)], axis=2)
-    packed = packed.reshape(nb, p_eff * K, F_ROWS)
+    packed = accel.tri_rows[gi].reshape(nb, p_eff * K, F_ROWS)
 
     return (n_pk[:, None], n_tail[:, None], tail_ids, qf_pk, qf_tail,
             packed)
