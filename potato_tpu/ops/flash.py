@@ -20,12 +20,14 @@ at it:
    refines entered parents to child granularity — near-exact for
    coherent camera tiles, degrading to whole-parent visits for
    incoherent post-bounce bundles. The nearest packed-capacity children,
-   selected front-to-back with top_k, are packed 8-per-visit into
-   (128, F) feature tiles via an XLA row gather; parents owning children
-   beyond the capacity (rare) are visited whole afterwards, where
-   front-to-back early termination usually skips them. This is the
-   reference's ordered t_max-shrinking descent (src/bvh.rs:93-119)
-   rebuilt at block granularity.
+   selected front-to-back with top_k, are recorded as SMEM child ids;
+   the KERNEL assembles each visit's (128, F) feature tile from 8 W-row
+   dynamic slices of the VMEM-resident table (an XLA-side gather shipped
+   every capacity slot's tile per block, sentinels included). Parents
+   owning children beyond the capacity (rare) are visited whole
+   afterwards, where front-to-back early termination usually skips
+   them. This is the reference's ordered t_max-shrinking descent
+   (src/bvh.rs:93-119) rebuilt at block granularity.
 
 3. **Per-prim-row running best.** Each visit updates a (128, 512)
    prim-by-ray best (t, slot) with one compare + two selects — the
@@ -74,15 +76,19 @@ R = 512        # rays per block (one grid step)
 K = 128        # primitives per parent cluster (one lane tile)
 W = 16         # primitives per child cluster (packing granularity)
 CPP = K // W   # children per parent (8)
-TOP_P = 2      # packed-visit capacity per block (<= TOP_P*CPP nearest
+import os as _os
+
+TOP_P = int(_os.environ.get("POTATO_TOP_P", "2"))
+               # packed-visit capacity per block (<= TOP_P*CPP nearest
                # children pack into <= TOP_P 128-prim visits; overflow
-               # falls back to whole-parent tail visits). Swept on v5e:
-               # 6 -> 4 -> 3 -> 2 -> 1 gives 165/151/128/126/128 ms bunny
-               # frames — the packed gather + per-block DMA scale with the
-               # CAPACITY (sentinel rows included), ~13 ms/frame per slot,
-               # while the mean camera block only fills ~1.4 slots; at 1
-               # the overflow tail (whole 128-prim parents) starts costing
-               # more than the slot saves.
+               # falls back to whole-parent tail visits). Swept on v5e
+               # both in r4 (XLA-side packed gather: 6..1 -> 165/151/128/
+               # 126/128 ms frames) and again in r5 after the in-kernel
+               # child assembly (2/3/4/6/8 -> 139/206/235/277/311 ms per
+               # 4-frame dispatch, POTATO_TOP_P env sweep): 2 wins
+               # decisively both times — extra capacity inflates the
+               # top_k width and the unrolled guarded-visit chain far
+               # faster than it drains the overflow tail.
 SPH_BRUTE_MAX = 16  # sphere count at/below which spheres are tested in XLA
 RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5),  m = d x o
 OUT_COLS = 8   # tri: t slot | sph: t slot | pad(4)
@@ -97,10 +103,10 @@ SPH_FEATURES = 8      # c(3) |c|^2-r^2(1) valid(1)
 class FlashAccel(NamedTuple):
     """Two-level cluster tables + AABBs (device arrays)."""
 
-    tri_flat: jnp.ndarray     # (Cp*K, F_ROWS) f32, fine (child) order,
-                              # prim-major (see build_flash_accel)
-    tri_rows: jnp.ndarray     # (Cp*CPP+1, W, F_ROWS) f32 row-gather form;
-                              # last row = all-zero sentinel (det 0)
+    tri_flat: jnp.ndarray     # (Cp*K + W, F_ROWS) f32, fine (child) order,
+                              # prim-major, + W all-zero pad rows (the
+                              # packed-visit sentinel child: det 0, slot 0,
+                              # never wins) — see build_flash_accel
     tri_perm: jnp.ndarray     # (Cp*K,) int32 fine slot -> original tri id
     tri_cmin: jnp.ndarray     # (Cp,3) f32 parent AABBs
     tri_cmax: jnp.ndarray     # (Cp,3)
@@ -246,12 +252,9 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
     # rays-major kernel interface made layout assignment flip the whole
     # bounce loop's state to {1,0:T(8,128)} — 3 useful lanes of 128.)
     tf = np.ascontiguousarray(tf.T)            # (total, F_ROWS)
-    # row-gather form: child c -> (W, F_ROWS) tile; + one all-zero
-    # sentinel row used for pack padding (det 0, slot 0, never wins)
-    nsub = total // W
-    tri_rows = np.concatenate(
-        [tf.reshape(nsub, W, F_ROWS),
-         np.zeros((1, W, F_ROWS), np.float32)], axis=0)
+    # + W all-zero pad rows: the sentinel child (id = total//W) that fills
+    # unused packed-visit slots resolves to these (det 0, never wins)
+    tf = np.concatenate([tf, np.zeros((W, F_ROWS), np.float32)])
 
     # --- spheres (single-level clusters of K, as before) ---
     S = num_spheres
@@ -311,7 +314,6 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
 
     return FlashAccel(
         tri_flat=jnp.asarray(tf),
-        tri_rows=jnp.asarray(tri_rows),
         tri_perm=jnp.asarray(tri_perm),
         tri_cmin=jnp.asarray(tri_cmin), tri_cmax=jnp.asarray(tri_cmax),
         tri_cmin16=jnp.asarray(tri_cmin16), tri_cmax16=jnp.asarray(tri_cmax16),
@@ -489,11 +491,11 @@ def _interval_slab(bounds, cmin, cmax):
 
 
 def build_packed_queue(rays: RayBatch, accel: FlashAccel, block: int = R):
-    """Two-level front-to-back queue + packed feature gather per block.
+    """Two-level front-to-back queue per block.
 
     Returns (n_pk (NB,1), n_tail (NB,1), tail_ids (NB, tail_cap),
-    qf_pk (NB, p_eff), qf_tail (NB, tail_cap), packed
-    (NB, p_eff, F_ROWS, K)) where p_eff = min(TOP_P, #parents).
+    qf_pk (NB, p_eff), qf_tail (NB, tail_cap), child_ids (NB, cap_c))
+    where p_eff = min(TOP_P, #parents) and cap_c = p_eff * CPP.
     """
     b = rays.origin.shape[0]
     nb = b // block
@@ -501,7 +503,7 @@ def build_packed_queue(rays: RayBatch, accel: FlashAccel, block: int = R):
     csub = accel.tri_cmin16.shape[0]
     p_eff = min(TOP_P, cp)
     cap_c = p_eff * CPP          # children coverable by packed visits
-    nsub = accel.tri_rows.shape[0] - 1
+    nsub = (accel.tri_flat.shape[0] - W) // W
 
     # exact per-ray parent test in the r3-proven (B, Cp) layout, reduced
     # to block granularity by a major-dim reshape (free — minor-dim
@@ -566,19 +568,17 @@ def build_packed_queue(rays: RayBatch, accel: FlashAccel, block: int = R):
         qf_tail = jnp.zeros((nb, 0), jnp.float32)
         n_tail = jnp.zeros((nb,), jnp.int32)
 
-    # packed feature tiles: ONE row gather over all (block, visit, child)
-    # positions at once — index (b, j, k) pulls child row gi[b,j,k] so the
-    # (nb, p_eff, CPP, W, F) result reshapes (pure view) to child k of
-    # visit j at prim rows [W*k, W*(k+1)) of the (p_eff*K, F_ROWS) tile.
-    # (The r4 form issued 8 separate gathers + a concatenate — same bytes,
-    # 8x the gather fixed cost. A 4D block spec on the kernel side is
-    # still avoided: it lowers into hundreds of tiny strided DMAs,
-    # measured ~13 us/block.)
-    gi = gidx.reshape(nb, p_eff, CPP)
-    packed = accel.tri_rows[gi].reshape(nb, p_eff * K, F_ROWS)
-
-    return (n_pk[:, None], n_tail[:, None], tail_ids, qf_pk, qf_tail,
-            packed)
+    # No feature gather here: the kernel assembles each packed visit's
+    # (K, F_ROWS) tile itself from 8 W-row dynamic slices of the
+    # VMEM-resident feature table, driven by these SMEM child ids
+    # (sentinel = nsub points at the table's zero pad rows: det 0, slot 0,
+    # never wins). The r4 design gathered (NB, p_eff*K, F_ROWS) tiles in
+    # XLA and DMA'd them per block — ~3.7 ms/frame of gather plus a
+    # per-slot shipping cost (~13 ms/frame/slot at r4 capacities) that
+    # made sentinel rows as expensive as real ones and forced TOP_P down
+    # to 2. In-kernel assembly reads only VMEM and scales with the VISITS
+    # TAKEN, not the static capacity.
+    return n_pk[:, None], n_tail[:, None], tail_ids, qf_pk, qf_tail, gidx
 
 
 # ------------------------------------------------------------------ kernel
@@ -593,12 +593,17 @@ class _KCfg(NamedTuple):
     cs: int           # sphere cluster count (0 if not has_sph)
 
     @property
+    def qi_child_off(self):
+        # [n_pk, n_tail, n_sph, child ids..., tail ids..., sph ids...]
+        return 3
+
+    @property
     def qi_tail_off(self):
-        return 3  # [n_pk, n_tail, n_sph, tail ids..., sph ids...]
+        return 3 + self.v_cap * CPP
 
     @property
     def qi_sph_off(self):
-        return 3 + self.tail_cap
+        return self.qi_tail_off + self.tail_cap
 
     @property
     def qf_tail_off(self):
@@ -618,19 +623,19 @@ G = 8  # ray blocks (queues) per grid step. The pipeline's per-step cost
 
 
 def _make_flash_kernel(cfg: _KCfg):
-    def _flash_kernel(qi_ref, qf_ref, rays_ref, packed_ref, tri_ref,
+    def _flash_kernel(qi_ref, qf_ref, rays_ref, tri_ref,
                       sph_ref, out_ref, colt, cols, rbest):
         prim = jax.lax.broadcasted_iota(jnp.int32, (K, R), 0)
         for g in range(G):
             _process_block(cfg, g, prim, qi_ref, qf_ref, rays_ref,
-                           packed_ref, tri_ref, sph_ref, out_ref, colt,
+                           tri_ref, sph_ref, out_ref, colt,
                            cols, rbest)
 
     return _flash_kernel
 
 
 def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
-                   packed_ref, tri_ref, sph_ref, out_ref, colt, cols, rbest):
+                   tri_ref, sph_ref, out_ref, colt, cols, rbest):
     """One 512-ray block (sub-block g of the grid step): drain packed child
     visits, then coarse tail parents, then (optionally) sphere clusters.
 
@@ -814,19 +819,28 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
         rbest[:] = jnp.full((1, R), BIG, jnp.float32)
 
         # Packed visits: statically unrolled over the (small, static)
-        # capacity — every slice of the packed operand is compile-time
-        # constant, and each visit is guarded BOTH on the count and on
-        # front-to-back early termination (skip once every live lane's
-        # best hit, sphere bound included, precedes this visit's entry).
-        # The guards NEST so tri_far() — a vector->scalar reduction — is
-        # only evaluated for visit slots below the count (~1.4 of 6 on
-        # the bunny camera pass), not for every unrolled slot.
+        # capacity, each guarded BOTH on the count and on front-to-back
+        # early termination (skip once every live lane's best hit, sphere
+        # bound included, precedes this visit's entry). The guards NEST so
+        # tri_far() — a vector->scalar reduction — is only evaluated for
+        # visit slots below the count (~1.4 of the capacity on the bunny
+        # camera pass), not for every unrolled slot. The (K, F_ROWS) tile
+        # is assembled HERE from 8 W-row dynamic slices of the
+        # VMEM-resident feature table (child ids from SMEM): a visit that
+        # is skipped reads nothing, so capacity slots cost only SMEM
+        # width — unlike the r4 XLA-side gather, which shipped every
+        # slot's (K, F_ROWS) tile (sentinels included) into the kernel
+        # per block (~13 ms/frame/slot).
         for j in range(cfg.v_cap):
             @pl.when(j < n_pk)
             def _(j=j):
                 @pl.when(qf_ref[row, j] < tri_far())
-                def _():
-                    tri_visit(packed_ref[g, j * K:(j + 1) * K, :])
+                def _(j=j):
+                    tri_visit(jnp.concatenate(
+                        [tri_ref[pl.ds(pl.multiple_of(
+                            qi_ref[row, cfg.qi_child_off + j * CPP + k] * W,
+                            W), W), :]
+                         for k in range(CPP)], axis=0))
 
         if cfg.tail_cap > 0:
             def tail_body(j, _):
@@ -920,7 +934,7 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
         [o0, o1, o2, d0, d1, d2, m0, m1, m2, padded.t_min, padded.t_max]
         + [z] * (RAY_COLS - 11), axis=0)
 
-    n_pk, n_tail, tail_ids, qf_pk, qf_tail, packed = \
+    n_pk, n_tail, tail_ids, qf_pk, qf_tail, child_ids = \
         build_packed_queue(padded, accel)
     cp = accel.tri_cmin.shape[0]
     p_eff = min(TOP_P, cp)
@@ -941,7 +955,8 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
 
     # merge per-block queue arrays into two (one int, one float): 2 SMEM
     # block DMAs per grid step
-    qi = jnp.concatenate([n_pk, n_tail, sn, tail_ids, scodes], axis=1)
+    qi = jnp.concatenate([n_pk, n_tail, sn, child_ids, tail_ids, scodes],
+                         axis=1)
     qf = jnp.concatenate([qf_pk, qf_tail, sentry], axis=1)
     qi, qf = _pad_queue_rows([qi, qf], nb)
 
@@ -956,9 +971,6 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
         grid=(nb // G,),
         in_specs=[smem(qi), smem(qf),
                   pl.BlockSpec((RAY_COLS, G * R), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((G, p_eff * K, F_ROWS),
-                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -977,7 +989,7 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
         # gradient moving bounce directions) the queue arrays would carry
         # tangents straight into the kernel and fail to trace.
         jax.lax.stop_gradient,
-        (qi, qf, packed_rays, packed, accel.tri_flat, accel.sph_feats)))
+        (qi, qf, packed_rays, accel.tri_flat, accel.sph_feats)))
     return out, b, sph_xla
 
 
