@@ -760,8 +760,9 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
     n_pk = qi_ref[row, 0]
     n_tail = qi_ref[row, 1]
 
-    def tri_visit(tile):
-        """One (K, F_ROWS) feature tile against all R rays.
+    def tri_visit(tile, r0: int = 0, rows: int = K):
+        """One (rows, F_ROWS) feature tile against all R rays, updating
+        prim rows [r0, r0 + rows) of the running best (r0/rows static).
 
         Watertight Moller-Trumbore (Woop, Benthin & Wald 2013 edge tests;
         BASELINE north-star upgrade over the reference's Cramer form,
@@ -793,12 +794,13 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
         valid = (det_ok & same_sign & (tt >= t_min) & (tt <= t_max))
         key = jnp.where(valid, tt, BIG)
 
-        improve = key < colt[:]
-        colt[:] = jnp.where(improve, key, colt[:])
-        cols[:] = jnp.where(
+        improve = key < colt[r0:r0 + rows, :]
+        colt[r0:r0 + rows, :] = jnp.where(improve, key,
+                                          colt[r0:r0 + rows, :])
+        cols[r0:r0 + rows, :] = jnp.where(
             improve,
-            jnp.broadcast_to(tile[:, SLOT_ROW:SLOT_ROW + 1], (K, R)),
-            cols[:])
+            jnp.broadcast_to(tile[:, SLOT_ROW:SLOT_ROW + 1], (rows, R)),
+            cols[r0:r0 + rows, :])
         rbest[:] = jnp.minimum(rbest[:],
                                jnp.min(key, axis=0, keepdims=True))
 
@@ -836,11 +838,14 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
             def _(j=j):
                 @pl.when(qf_ref[row, j] < tri_far())
                 def _(j=j):
-                    tri_visit(jnp.concatenate(
-                        [tri_ref[pl.ds(pl.multiple_of(
-                            qi_ref[row, cfg.qi_child_off + j * CPP + k] * W,
-                            W), W), :]
-                         for k in range(CPP)], axis=0))
+                    # one (W, F_ROWS) subtile per child, updating its own
+                    # W prim rows of the running best — no (K, F_ROWS)
+                    # concat materialization
+                    for k in range(CPP):
+                        ci = qi_ref[row, cfg.qi_child_off + j * CPP + k]
+                        tri_visit(
+                            tri_ref[pl.ds(pl.multiple_of(ci * W, W), W), :],
+                            r0=k * W, rows=W)
 
         if cfg.tail_cap > 0:
             def tail_body(j, _):

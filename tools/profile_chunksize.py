@@ -22,7 +22,7 @@ def main():
     width, height, spp = 800, 600, 4
     seed = jnp.uint32(0)
 
-    for shift in (14, 15, 16, 17):
+    for shift in (13, 14, 15, 16):
         frame_fn, starts = compile_frame(scene, width, height, spp=spp,
                                          max_bounce=8, chunk_size=1 << shift)
         out = frame_fn(scene.tables, scene.camera, seed, starts)
