@@ -56,13 +56,15 @@ def main():
     print(f"warmup (compile + render): {time.time() - t0:.2f}s, "
           f"segments={segments}", file=sys.stderr)
 
-    # Sustained throughput: each timed dispatch renders a BATCH of 4
+    # Sustained throughput: each timed dispatch renders a BATCH of
     # independent frames (different seeds) back to back on device, so the
     # tunnel's ~26 ms sync round trip — a harness artifact, not part of
-    # the renderer — is amortized 4x instead of dominating a ~50 ms
-    # frame. Single-frame-per-dispatch numbers (sync included) are also
-    # printed for reference.
-    BATCH = 4
+    # the renderer — is amortized BATCH-fold instead of dominating a
+    # ~25 ms frame. Single-frame-per-dispatch numbers (sync included) are
+    # also printed and recorded in the JSON for apples-to-apples history.
+    import os
+
+    BATCH = int(os.environ.get("POTATO_BENCH_BATCH", "8"))
 
     @jax.jit
     def batch_fn(tables, camera, seeds, starts):

@@ -90,7 +90,9 @@ TOP_P = int(_os.environ.get("POTATO_TOP_P", "2"))
                # top_k width and the unrolled guarded-visit chain far
                # faster than it drains the overflow tail.
 SPH_BRUTE_MAX = 16  # sphere count at/below which spheres are tested in XLA
-RAY_COLS = 16  # o(3) d(3) m(3) tmin tmax pad(5),  m = d x o
+RAY_COLS = 8   # o(3) d(3) tmin tmax;  m = d x o is derived in-kernel
+               # (9 ops on (1, R) rows — cheaper than shipping 3 more
+               # rows per ray and padding the operand to 16)
 OUT_COLS = 8   # tri: t slot | sph: t slot | pad(4)
 # watertight edge-function features: gU eU gV eV gW eW (3 each) n(3) s_t(1)
 # = rows 0..21; row 22,23 pad; row 24 = global primitive slot (f32);
@@ -664,11 +666,16 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
     dx = rays_ref[3:4, rs]
     dy = rays_ref[4:5, rs]
     dz = rays_ref[5:6, rs]
-    mx = rays_ref[6:7, rs]
-    my = rays_ref[7:8, rs]
-    mz = rays_ref[8:9, rs]
-    t_min = rays_ref[9:10, rs]
-    t_max = rays_ref[10:11, rs]
+    t_min = rays_ref[6:7, rs]
+    t_max = rays_ref[7:8, rs]
+    # m = d x o, derived here instead of shipped: the same per-ray m
+    # feeds every triangle's edge functions, so the watertight
+    # exact-negation argument (shared-edge features negate exactly,
+    # and negation commutes with any fixed contraction of U) is
+    # unaffected by WHERE m is computed.
+    mx = dy * oz - dz * oy
+    my = dz * ox - dx * oz
+    mz = dx * oy - dy * ox
 
     prim_f = prim.astype(jnp.float32)
 
@@ -931,13 +938,8 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
     # a ~2.5x frame regression.)
     o0, o1, o2 = (padded.origin[:, a] for a in range(3))
     d0, d1, d2 = (padded.direction[:, a] for a in range(3))
-    m0 = d1 * o2 - d2 * o1          # m = d x o, componentwise
-    m1 = d2 * o0 - d0 * o2
-    m2 = d0 * o1 - d1 * o0
-    z = jnp.zeros_like(o0)
     packed_rays = jnp.stack(
-        [o0, o1, o2, d0, d1, d2, m0, m1, m2, padded.t_min, padded.t_max]
-        + [z] * (RAY_COLS - 11), axis=0)
+        [o0, o1, o2, d0, d1, d2, padded.t_min, padded.t_max], axis=0)
 
     n_pk, n_tail, tail_ids, qf_pk, qf_tail, child_ids = \
         build_packed_queue(padded, accel)
