@@ -17,6 +17,34 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+def divmod_u32(x: jnp.ndarray, d: int):
+    """Exact (x // d, x % d) for uint32 arrays with x < 2^22, d a static
+    positive int.
+
+    Integer division by a non-power-of-two constant lowers to a slow
+    scalar-ish sequence on the TPU VPU — the raygen/tile-swizzle divs by
+    width and tiles_x were ~1.2 ms/frame on the bunny bench. Powers of
+    two become shift/mask; other constants go through an f32 reciprocal
+    multiply plus one +-1 correction (exact because the f32 quotient
+    error is < 0.25 for x < 2^22, and the correction window is +-1).
+    Returns uint32 (q, r).
+    """
+    d = int(d)
+    assert d > 0
+    x = x.astype(jnp.uint32)
+    if d == 1:
+        return x, jnp.zeros_like(x)
+    if d & (d - 1) == 0:
+        shift = d.bit_length() - 1
+        return x >> np.uint32(shift), x & np.uint32(d - 1)
+    q = jnp.floor(x.astype(jnp.float32) * np.float32(1.0 / d)) \
+        .astype(jnp.int32)
+    r = x.astype(jnp.int32) - q * np.int32(d)
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= d, q + 1, q))
+    r = x.astype(jnp.int32) - q * np.int32(d)
+    return q.astype(jnp.uint32), r.astype(jnp.uint32)
+
+
 def norm_squared(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * a, axis=-1)
 

@@ -10,9 +10,17 @@ so renders are bit-deterministic, independent of batch chunking and of how
 rays are sharded across chips/hosts — any tile is recomputable in isolation
 (the property the reference lacks: its renders differ run to run).
 
-The implementation is plain uint32 jnp ops (13 rounds of Threefry-2x32, the
-same cipher family jax.random uses), fully vectorized on the VPU and
-portable into Pallas kernels unchanged.
+The implementation is plain uint32 jnp ops (Threefry-2x32, the same cipher
+family jax.random uses), fully vectorized on the VPU and portable into
+Pallas kernels unchanged. Two round counts:
+
+- `threefry2x32(..., rounds=20)`: the full-strength cipher, bit-identical
+  to jax.random's (KAT-pinned in tests/test_rng.py).
+- the RENDER path draws with `rounds=13` — the minimum that passes
+  BigCrush for Threefry-2x32 (Salmon et al., SC'11 Table 2) — because
+  the per-bounce draws are ~1.5 ms/frame of pure VPU rounds at 20 and
+  Monte Carlo rendering needs statistical quality, not crypto margin.
+  The 13-round stream is its own deterministic spec (fixture-pinned).
 """
 
 from __future__ import annotations
@@ -39,10 +47,17 @@ def _rotl(x, r):
     return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
 
 
-def threefry2x32(key0, key1, ctr0, ctr1):
-    """Threefry-2x32, 20 rounds. Inputs broadcastable uint32 arrays.
+RENDER_ROUNDS = 13
 
-    Returns two uint32 arrays of the broadcast shape.
+
+def threefry2x32(key0, key1, ctr0, ctr1, rounds: int = 20):
+    """Threefry-2x32. Inputs broadcastable uint32 arrays; returns two
+    uint32 arrays of the broadcast shape.
+
+    rounds=20 (default) is bit-identical to jax.random's threefry2x32.
+    Other counts follow the canonical schedule: a key injection after
+    every 4 rounds, plus a final injection when the count is not a
+    multiple of 4 (rounds=13: injections after rounds 4, 8, 12, 13).
     """
     k0 = jnp.asarray(key0, jnp.uint32)
     k1 = jnp.asarray(key1, jnp.uint32)
@@ -51,14 +66,16 @@ def threefry2x32(key0, key1, ctr0, ctr1):
     x1 = jnp.asarray(ctr1, jnp.uint32) + k1
 
     ks = (k0, k1, k2)
-    for block in range(5):
-        for i in range(4):
-            x0 = x0 + x1
-            x1 = _rotl(x1, _ROTATIONS[(block % 2) * 4 + i])
-            x1 = x1 ^ x0
-        j = block + 1
-        x0 = x0 + ks[j % 3]
-        x1 = x1 + ks[(j + 1) % 3] + np.uint32(j)
+    j = 0
+    for r in range(rounds):
+        block, i = divmod(r, 4)
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROTATIONS[(block % 2) * 4 + i])
+        x1 = x1 ^ x0
+        if i == 3 or r == rounds - 1:
+            j += 1
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + np.uint32(j)
     return x0, x1
 
 
@@ -74,7 +91,8 @@ def random_bits2(seed, salt, ids):
         jnp.asarray(seed, jnp.uint32), jnp.uint32(0))
     ids = jnp.asarray(ids).astype(jnp.uint32)
     salt = jnp.asarray(salt).astype(jnp.uint32)
-    return threefry2x32(k0, k1, ids, jnp.broadcast_to(salt, ids.shape))
+    return threefry2x32(k0, k1, ids, jnp.broadcast_to(salt, ids.shape),
+                        rounds=RENDER_ROUNDS)
 
 
 def _bits_to_unit_float(bits, dtype=jnp.float32):

@@ -108,15 +108,15 @@ def tile_swizzle_ids(lin, width: int, spp: int):
     RNG and pixel assignment are functions of the *physical* id, so the
     rendered image is bit-identical to scanline order after unpermuting.
     """
+    from potato_tpu.core.math import divmod_u32
+
     lin = lin.astype(jnp.uint32)
-    tile = jnp.uint32(TILE_W * TILE_H * spp)
-    t_idx = lin // tile
-    within = lin % tile
-    pix = within // jnp.uint32(spp)
-    sample = within % jnp.uint32(spp)
-    tiles_x = jnp.uint32(width // TILE_W)
-    px = (t_idx % tiles_x) * TILE_W + pix % jnp.uint32(TILE_W)
-    py = (t_idx // tiles_x) * TILE_H + pix // jnp.uint32(TILE_W)
+    t_idx, within = divmod_u32(lin, TILE_W * TILE_H * spp)
+    pix, sample = divmod_u32(within, spp)
+    ty, tx = divmod_u32(t_idx, width // TILE_W)
+    pr, pc = divmod_u32(pix, TILE_W)
+    px = tx * TILE_W + pc
+    py = ty * TILE_H + pr
     return (py * jnp.uint32(width) + px) * jnp.uint32(spp) + sample
 
 

@@ -65,3 +65,41 @@ def test_known_answer_vectors():
     a, b = prng.threefry2x32(ones, ones, ones, ones)
     assert int(a) == 0x1CB996FC, hex(int(a))
     assert int(b) == 0xBB002BE7, hex(int(b))
+
+
+def test_render_rounds_fixture():
+    """The render path draws with Threefry-2x32-13 (the BigCrush-passing
+    minimum, ~35% cheaper per bounce than the 20-round cipher). Its
+    stream is our own deterministic spec — pinned here as a fixture, with
+    the injection schedule (after rounds 4, 8, 12 and a final one after
+    round 13) exercised end to end."""
+    assert prng.RENDER_ROUNDS == 13
+    a, b = prng.threefry2x32(jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                             jnp.uint32(0), rounds=13)
+    assert (int(a), int(b)) == (0x9D1C5EC6, 0xA7A6230F), (hex(int(a)), hex(int(b)))
+    ones = jnp.uint32(0xFFFFFFFF)
+    a, b = prng.threefry2x32(ones, ones, ones, ones, rounds=13)
+    assert (int(a), int(b)) == (0xFD36D047, 0x48E8430A), (hex(int(a)), hex(int(b)))
+    # random_bits2 rides the 13-round stream
+    r0, r1 = prng.random_bits2(0, 0, jnp.zeros((1,), jnp.uint32))
+    e0, e1 = prng.threefry2x32(jnp.uint32(0), jnp.uint32(0),
+                               jnp.zeros((1,), jnp.uint32),
+                               jnp.zeros((1,), jnp.uint32), rounds=13)
+    assert int(r0[0]) == int(e0[0]) and int(r1[0]) == int(e1[0])
+
+
+def test_divmod_u32_exact():
+    """divmod_u32 must agree with // and % over its documented domain
+    (x < 2^22) for the divisors the renderer uses, including the exact
+    boundary neighborhoods of every multiple."""
+    from potato_tpu.core.math import divmod_u32
+
+    for d in (1, 3, 4, 16, 50, 512, 800, 801):
+        xs = np.concatenate([
+            np.arange(0, 4 * d + 2),
+            np.arange((1 << 22) - 3 * d, 1 << 22),
+            np.random.default_rng(d).integers(0, 1 << 22, 2000),
+        ]).astype(np.uint32)
+        q, r = divmod_u32(jnp.asarray(xs), d)
+        np.testing.assert_array_equal(np.asarray(q), xs // d)
+        np.testing.assert_array_equal(np.asarray(r), xs % d)

@@ -32,13 +32,14 @@ def parse_xplane(trace_dir):
     """Aggregate (name -> total_ps, count) over the TPU 'XLA Ops' line."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    pb = None
-    for root, _, files in os.walk(trace_dir):
-        for f in files:
-            if f.endswith(".xplane.pb"):
-                pb = os.path.join(root, f)
-    if pb is None:
+    # newest capture wins: jax.profiler.trace writes a fresh timestamped
+    # subdir per run, and a reused trace_dir keeps the old ones around
+    pbs = [os.path.join(root, f)
+           for root, _, files in os.walk(trace_dir)
+           for f in files if f.endswith(".xplane.pb")]
+    if not pbs:
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    pb = max(pbs, key=os.path.getmtime)
     space = xplane_pb2.XSpace()
     with open(pb, "rb") as f:
         space.ParseFromString(f.read())
