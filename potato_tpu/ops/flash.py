@@ -72,11 +72,13 @@ from jax.experimental.pallas import tpu as pltpu
 from potato_tpu.core.types import BIG, HitBatch, RayBatch
 from potato_tpu.ops.intersect import sphere_hit_t
 
+import os as _os
+
 R = 512        # rays per block (one grid step)
 K = 128        # primitives per parent cluster (one lane tile)
-W = 16         # primitives per child cluster (packing granularity)
-CPP = K // W   # children per parent (8)
-import os as _os
+W = int(_os.environ.get("POTATO_W", "16"))  # primitives per child cluster
+               # (packing granularity; sweepable for experiments)
+CPP = K // W   # children per parent
 
 TOP_P = int(_os.environ.get("POTATO_TOP_P", "2"))
                # packed-visit capacity per block (<= TOP_P*CPP nearest
