@@ -196,6 +196,18 @@ def eval_material(tables, material_id, ray_direction, hit: HitBatch,
     """
     mid = material_id
     m = tables.m_scatter_kind.shape[0]
+    fields12 = (
+        tables.m_scatter_kind.astype(jnp.float32),
+        tables.m_scatter_param,
+        tables.m_absorb_kind.astype(jnp.float32),
+        tables.m_absorb_color[:, 0], tables.m_absorb_color[:, 1],
+        tables.m_absorb_color[:, 2],
+        tables.m_absorb_tex.astype(jnp.float32),
+        tables.m_emit_kind.astype(jnp.float32),
+        tables.m_emit_color[:, 0], tables.m_emit_color[:, 1],
+        tables.m_emit_color[:, 2],
+        tables.m_emit_tex.astype(jnp.float32),
+    )
     if m <= 16:
         # Small material tables (every reference scene except more_balls):
         # gather all 12 per-lane fields with ONE one-hot dot on the MXU
@@ -204,39 +216,39 @@ def eval_material(tables, material_id, ray_direction, hit: HitBatch,
         # param gradients flow exactly as through the gathers; kind codes
         # and texture ids survive the f32 ride exactly (tiny ints,
         # precision=HIGHEST avoids the default bf16 truncation).
-        fields = jnp.stack([
-            tables.m_scatter_kind.astype(jnp.float32),
-            tables.m_scatter_param,
-            tables.m_absorb_kind.astype(jnp.float32),
-            tables.m_absorb_color[:, 0], tables.m_absorb_color[:, 1],
-            tables.m_absorb_color[:, 2],
-            tables.m_absorb_tex.astype(jnp.float32),
-            tables.m_emit_kind.astype(jnp.float32),
-            tables.m_emit_color[:, 0], tables.m_emit_color[:, 1],
-            tables.m_emit_color[:, 2],
-            tables.m_emit_tex.astype(jnp.float32),
-        ], axis=0)                                          # (12, M)
+        fields = jnp.stack(fields12, axis=0)                # (12, M)
         onehot = (mid[None, :] == jnp.arange(m, dtype=mid.dtype)[:, None]
                   ).astype(jnp.float32)                     # (M, B)
         gm = jax.lax.dot_general(fields, onehot, (((1,), (0,)), ((), ())),
                                  precision=jax.lax.Precision.HIGHEST)
-        s_kind = gm[0].astype(jnp.int32)
-        s_param = gm[1]
-        a_kind = gm[2].astype(jnp.int32)
-        a_color = jnp.stack([gm[3], gm[4], gm[5]], axis=-1)
-        a_tex = gm[6].astype(jnp.int32)
-        e_kind = gm[7].astype(jnp.int32)
-        e_color = jnp.stack([gm[8], gm[9], gm[10]], axis=-1)
-        e_tex = gm[11].astype(jnp.int32)
     else:
-        s_kind = tables.m_scatter_kind[mid]
-        s_param = tables.m_scatter_param[mid]
-        a_kind = tables.m_absorb_kind[mid]
-        a_color = tables.m_absorb_color[mid]
-        a_tex = tables.m_absorb_tex[mid]
-        e_kind = tables.m_emit_kind[mid]
-        e_color = tables.m_emit_color[mid]
-        e_tex = tables.m_emit_tex[mid]
+        # Large material tables (more_balls: 3,790): ONE (B, 12) row
+        # gather from the packed (M, 12) record + a constant selector dot
+        # to lane-major rows. The previous 8 independent (B,) gathers
+        # were per-lane permutation gathers (~7 ns/element); the two
+        # biggest of them alone cost 183 ms/frame on more_balls — the row
+        # gather runs at the ~1.5 ns/row hardware rate instead, and the
+        # dot materializes the transpose on the MXU exactly like the
+        # shade-row fetch in ops/flash.py (same two layout traps dodged).
+        # The (M, 12) pack is loop-invariant: XLA hoists it out of the
+        # bounce loop. Kind codes and texture ids are small ints — exact
+        # through the f32 ride at HIGHEST precision; color/param
+        # gradients flow linearly through gather and dot.
+        packed = jnp.stack(fields12, axis=1)                # (M, 12)
+        rows = packed[mid]                                  # (B, 12) {1,0}
+        sel = jnp.concatenate(
+            [jnp.eye(12, dtype=jnp.float32),
+             jnp.zeros((1, 12), jnp.float32)])              # (13, 12)
+        gm = jax.lax.dot_general(sel, rows, (((1,), (1,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+    s_kind = gm[0].astype(jnp.int32)
+    s_param = gm[1]
+    a_kind = gm[2].astype(jnp.int32)
+    a_color = jnp.stack([gm[3], gm[4], gm[5]], axis=-1)
+    a_tex = gm[6].astype(jnp.int32)
+    e_kind = gm[7].astype(jnp.int32)
+    e_color = jnp.stack([gm[8], gm[9], gm[10]], axis=-1)
+    e_tex = gm[11].astype(jnp.int32)
 
     scatter = eval_scatter(
         tables, s_kind, s_param,

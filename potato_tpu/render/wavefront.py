@@ -25,13 +25,16 @@ Refill order follows the tile-swizzled ray sequence: coherent blocks tend
 to retire together (a sky tile's 512 lanes all miss at once), so a freed
 block is refilled with a fresh, spatially-coherent pixel tile.
 
-Measured tradeoff on v5e (bunny, 800x600x4spp, mean path length 1.57):
-the pool runs at 468 ms/frame vs the chunked renderer's 195 ms — full
-occupancy does not pay for the loss of tile coherence once generations
-mix within kernel blocks, so the chunked path remains the default and the
-bench surface. The pool is the right shape for scenes whose paths are
-long and divergent (deep dielectric interiors), where the chunked
-early-exit loop degrades to near-empty bounces.
+Measured tradeoff on v5e (800x600x4spp): the pool loses on EVERY scene
+shape, not just coherent ones — bunny 468 ms/frame vs the chunked
+renderer's 195 (r3), and on the r5 divergent scenes, where the chunked
+early-exit loop runs at ~37-39% lane utilization and the pool's full
+occupancy was expected to win: glass_bunny 10.0M rays/s vs 14.1M
+chunked, more_balls 12.3M vs 15.9M. Occupancy does not pay for the loss
+of tile coherence once generations mix within kernel blocks — the
+block-granularity cluster lists degrade faster than the dead lanes
+cost. The chunked path stays the default and the bench surface; the
+pool remains as the measured counterfactual.
 
 Forward-only (lax.while_loop): the differentiable path keeps the scan
 integrator in render/integrator.py.
