@@ -87,3 +87,39 @@ def test_flash_matches_brute_on_tpu(small_scene, rays):
     np.testing.assert_allclose(np.asarray(got.t)[np.asarray(want.valid)],
                                np.asarray(want.t)[np.asarray(want.valid)],
                                rtol=1e-4)
+
+
+def test_flash_gradient_on_tpu(small_scene):
+    """jax.grad through the COMPILED Mosaic kernel + stop_gradient
+    epilogue on hardware (VERDICT r5 item #4: the flash gradients were
+    only ever validated in interpret mode on CPU). A 16x16x1 render of
+    the tiny scene, differentiated wrt the albedo table, must produce a
+    finite, nonzero gradient that matches a finite difference of the
+    same compiled loss."""
+    from potato_tpu.render.renderer import make_intersect_fn, render_chunk
+
+    scene = small_scene.build(accel="flash")
+    intersect_fn = make_intersect_fn(scene)   # compiled (interpret=False)
+    ids = jnp.arange(256, dtype=jnp.uint32)
+
+    def loss(albedo):
+        tables = scene.tables._replace(m_absorb_color=albedo)
+        out = render_chunk(tables, scene.camera, ids,
+                           intersect_fn=intersect_fn, width=16, height=16,
+                           spp=1, max_bounce=3, seed=0,
+                           features=scene.features)   # scan path (diffable)
+        return jnp.sum(out.color)
+
+    a0 = scene.tables.m_absorb_color
+    g = jax.block_until_ready(jax.jit(jax.grad(loss))(a0))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-3, g
+
+    # directional FD along the gradient (compiled loss, f32: coarse eps)
+    loss_j = jax.jit(loss)
+    d = g / np.linalg.norm(g)
+    eps = 1e-2
+    fd = (float(loss_j(a0 + eps * d)) - float(loss_j(a0 - eps * d))) / (2 * eps)
+    ad = float(np.sum(g * d))   # = |g|
+    assert abs(fd - ad) <= 0.35 * abs(ad) + 1e-3, (fd, ad)
