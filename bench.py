@@ -86,19 +86,30 @@ def main():
     print(f"warmup ({how} + first {BATCH}-frame dispatch): "
           f"{time.time() - t0:.2f}s, segments={segments}", file=sys.stderr)
 
-    best = None
-    for rep in range(3):
+    # Pipelined sustained measurement: submit all dispatches back to back
+    # (PJRT execution is async — the device starts the next batch while
+    # the host fetches the previous scalar), then sync in order. The
+    # tunnel's ~26 ms fetch round trip overlaps device execution, so the
+    # only un-overlapped sync is the final drain — this is how any real
+    # sustained consumer (animation, training loop) would drive the
+    # renderer.
+    REPS = 3
+    t0 = time.perf_counter()
+    pending = []
+    for rep in range(REPS):
         seeds = jnp.arange(1 + rep * BATCH, 1 + (rep + 1) * BATCH,
                            dtype=jnp.uint32)
-        t0 = time.perf_counter()
-        segs = int(np.asarray(batch_exec(scene.tables, scene.camera, seeds,
-                                         starts)))  # sync point
-        dt = time.perf_counter() - t0
-        rays_per_s = segs / dt
-        print(f"rep {rep}: {dt * 1e3:.1f} ms / {BATCH} frames, "
-              f"{segs} segments, {rays_per_s / 1e6:.1f}M rays/s sustained",
-              file=sys.stderr)
-        best = max(best or 0.0, rays_per_s)
+        pending.append(batch_exec(scene.tables, scene.camera, seeds, starts))
+    total_segs = 0
+    for rep, res in enumerate(pending):
+        total_segs += int(np.asarray(res))
+        print(f"rep {rep}: drained at {1e3 * (time.perf_counter() - t0):.1f}"
+              " ms", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    best = total_segs / dt
+    print(f"pipelined: {dt * 1e3:.1f} ms / {REPS * BATCH} frames, "
+          f"{total_segs} segments, {best / 1e6:.1f}M rays/s sustained",
+          file=sys.stderr)
 
     # single-frame dispatch (sync round trip included), for reference.
     # The full TraceResult is materialized (not just the scalar sum) so

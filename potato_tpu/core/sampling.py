@@ -31,11 +31,20 @@ def unit_disk(u1, u2):
 
 def unit_sphere(u1, u2):
     """Uniform on the unit sphere (equivalent in distribution to the
-    Marsaglia rejection at reference src/randomness.rs:56-73)."""
+    Marsaglia rejection at reference src/randomness.rs:56-73).
+
+    sin(theta) is derived from cos via sign(u2 < 1/2) * sqrt(1 - c^2)
+    instead of a second transcendental: the sine polynomial was one of
+    the larger per-bounce VPU fusions (~0.8 ms/frame on the bunny
+    bench), while sqrt is a single op. Identical distribution; the
+    realization differs from the two-transcendental form only by f32
+    rounding (the oracle mirrors this formula exactly)."""
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    theta = (2.0 * np.pi) * u2
-    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
+    c = jnp.cos((2.0 * np.pi) * u2)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
+    s = jnp.where(u2 < 0.5, s, -s)
+    return jnp.stack([r * c, r * s, z], axis=-1)
 
 
 def unit_ball(u1, u2, u3):

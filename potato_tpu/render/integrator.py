@@ -44,7 +44,7 @@ class TraceResult(NamedTuple):
 def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
                 max_bounce: int, seed, features=None,
                 early_exit: bool = False, live=None,
-                ior_score: bool = False) -> TraceResult:
+                ior_score: bool = False, aovs: bool = True) -> TraceResult:
     """Trace a batch of camera rays to completion.
 
     intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
@@ -61,6 +61,10 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
     live: optional (B,) bool — lanes born dead (padding in a fixed-shape
     chunk) trace nothing, contribute nothing, and are excluded from the
     segments counter.
+
+    aovs: statically skip the first-hit AOV updates (the bounce loop's
+    `bounce == 0` selects) when the caller only wants radiance — the
+    bench path; the returned aov fields are then the carried zeros.
 
     ior_score: fold the score-function surrogate weight for the
     dielectric's reflect/refract Bernoulli into throughput
@@ -147,11 +151,15 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         radiance = state.radiance + state.throughput * contrib * live
 
         # AOVs from the first segment only (trace_path_first, render.rs:102-122)
-        first = bounce == 0
-        aov_normal = jnp.where(
-            first, jnp.where(hit.valid[..., None], hit.normal, 0.0),
-            state.aov_normal)
-        aov_hit = jnp.where(first, hit.valid, state.aov_hit)
+        if aovs:
+            first = bounce == 0
+            aov_normal = jnp.where(
+                first, jnp.where(hit.valid[..., None], hit.normal, 0.0),
+                state.aov_normal)
+            aov_hit = jnp.where(first, hit.valid, state.aov_hit)
+        else:
+            aov_normal = state.aov_normal
+            aov_hit = state.aov_hit
 
         throughput = jnp.where(
             (state.active & hit.valid)[..., None],

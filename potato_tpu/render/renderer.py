@@ -135,19 +135,21 @@ def tile_unswizzle_perm(width: int, height: int, spp: int) -> np.ndarray:
 def render_chunk(tables, camera, ray_ids, *, intersect_fn, width, height,
                  spp, max_bounce, seed, features=None,
                  early_exit: bool = False, live=None,
-                 ior_score: bool = False, jitter: bool = True) -> TraceResult:
+                 ior_score: bool = False, jitter: bool = True,
+                 aovs: bool = True) -> TraceResult:
     """Jittable: trace one chunk of global ray ids to radiance + AOVs."""
     rays = generate_rays(
         camera, width, height, spp, ray_ids, seed, jitter=jitter,
         lens=features.has_lens if features is not None else True)
     return trace_paths(tables, intersect_fn, rays, ray_ids, max_bounce, seed,
                        features=features, early_exit=early_exit, live=live,
-                       ior_score=ior_score)
+                       ior_score=ior_score, aovs=aovs)
 
 
 def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
                     max_bounce: int, chunk_size: int,
-                    per_chunk: bool = False, jitter: bool = True):
+                    per_chunk: bool = False, jitter: bool = True,
+                    aovs: bool = True):
     """One jitted function rendering ALL chunks of a frame in one dispatch.
 
     `seed` and the chunk start offsets are dynamic arguments, so reseeding
@@ -174,7 +176,8 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
                             height=height, spp=spp,
                             max_bounce=max_bounce, seed=seed,
                             features=scene.features, early_exit=True,
-                            live=raw < jnp.uint32(total), jitter=jitter)
+                            live=raw < jnp.uint32(total), jitter=jitter,
+                            aovs=aovs)
 
     if per_chunk:
         return jax.jit(one_chunk)
@@ -187,7 +190,8 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
 
 
 def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
-                  max_bounce: int = 8, chunk_size: Optional[int] = None):
+                  max_bounce: int = 8, chunk_size: Optional[int] = None,
+                  aovs: bool = False):
     """Compile (or fetch cached) the single-dispatch frame function.
 
     Returns (frame_fn, starts): frame_fn(tables, camera, seed_u32, starts)
@@ -200,11 +204,11 @@ def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
         chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
-    key = (width, height, spp, max_bounce, chunk_size, False, True)
+    key = (width, height, spp, max_bounce, chunk_size, False, True, aovs)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
         frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size)
+                                   chunk_size, aovs=aovs)
         scene.fn_cache[key] = frame_fn
     starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
     return frame_fn, starts

@@ -37,10 +37,16 @@ def _unit_disk(u1, u2):
 
 
 def _unit_sphere(u1, u2):
+    # mirrors core/sampling.unit_sphere's sqrt-derived sine (the
+    # renderer replaced the sine transcendental with
+    # sign(u2 < 1/2) * sqrt(1 - cos^2) for VPU cost; same distribution)
     z = 1.0 - 2.0 * u1
     r = np.sqrt(max(0.0, 1.0 - z * z))
-    th = 2 * np.pi * u2
-    return np.array([r * np.cos(th), r * np.sin(th), z])
+    c = np.cos(2 * np.pi * u2)
+    s = np.sqrt(max(0.0, 1.0 - c * c))
+    if u2 >= 0.5:
+        s = -s
+    return np.array([r * c, r * s, z])
 
 
 def _unit_ball(u1, u2, u3):

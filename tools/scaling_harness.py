@@ -157,12 +157,14 @@ def main():
     elif len(sys.argv) > 1 and sys.argv[1] == "devices":
         report = {"devices_mode": run_devices_mode()}
     else:
-        # full curve: virtual-devices 1/2/4/8 + multiprocess 1/2/4 —
-        # the >=3 procs-mode points the round-3 verdict required
+        # full curve: virtual-devices 1/2/4/8 + multiprocess 1/2/4/8
+        # (the 8-process point the round-4 verdict asked for: on this
+        # 2-core box it measures pure collective overhead at 4x
+        # oversubscription)
         devices = run_devices_mode()
         base = devices["results"][0]
         procs = []
-        for n in (1, 2, 4):
+        for n in (1, 2, 4, 8):
             r = run_procs_mode(n)["results"][0]
             r["wall_time_ratio_vs_1dev"] = r["seconds"] / base["seconds"]
             procs.append(r)
