@@ -102,9 +102,19 @@ def _bits_to_unit_float(bits, dtype=jnp.float32):
 
 
 def uniform2(seed, salt, ids, dtype=jnp.float32):
-    """Two uniforms in [0,1) per id."""
+    """Two uniforms in [0,1) per id.
+
+    The outputs pass through an optimization barrier: XLA otherwise
+    fuses the 13-round cipher into its consumers' (B, 1) column pieces,
+    whose T(1,128) layout runs the VPU at 1 of 8 sublanes (measured on
+    the bunny bench alongside the same fix in core/sampling.py). Values
+    are bit-identical; the cipher runs once on dense (B,) vectors.
+    """
+    import jax
+
     b0, b1 = random_bits2(seed, salt, ids)
-    return _bits_to_unit_float(b0, dtype), _bits_to_unit_float(b1, dtype)
+    return jax.lax.optimization_barrier(
+        (_bits_to_unit_float(b0, dtype), _bits_to_unit_float(b1, dtype)))
 
 
 def uniform1(seed, salt, ids, dtype=jnp.float32):

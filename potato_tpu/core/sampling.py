@@ -39,11 +39,19 @@ def unit_sphere(u1, u2):
     bench), while sqrt is a single op. Identical distribution; the
     realization differs from the two-transcendental form only by f32
     rounding (the oracle mirrors this formula exactly)."""
+    import jax
+
     z = 1.0 - 2.0 * u1
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     c = jnp.cos((2.0 * np.pi) * u2)
     s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
     s = jnp.where(u2 < 0.5, s, -s)
+    # barrier: without it XLA fuses the cos polynomial into the stack's
+    # (B, 1) column pieces, whose T(1,128) layout runs the VPU at 1 of 8
+    # sublanes — the cosine fusion alone measured ~0.9 ms/frame on the
+    # bunny bench. The barrier materializes the transcendentals on dense
+    # (B,) vectors first (values bit-identical).
+    r, c, s, z = jax.lax.optimization_barrier((r, c, s, z))
     return jnp.stack([r * c, r * s, z], axis=-1)
 
 
