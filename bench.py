@@ -57,7 +57,7 @@ def main():
 
     from potato_tpu.aot import aot_key, load_or_compile
 
-    BATCH = int(os.environ.get("POTATO_BENCH_BATCH", "8"))
+    BATCH = int(os.environ.get("POTATO_BENCH_BATCH", "16"))
 
     # Warmup = loading the AOT-serialized executable (committed in
     # .jax_aot/, content-addressed) + the first dispatch. On a key hit
