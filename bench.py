@@ -10,9 +10,11 @@ Timing is device-side: frames stay on device and the timer stops on a
 host fetch of the scalar segment counter — the one reliable execution sync
 on remote-attached chips (block_until_ready returns early on this
 platform, and fetching the 58 MB frame buffers would time the tunnel, not
-the TPU). Each timed dispatch renders 4 independent frames back to back
-(sustained throughput); the ~26 ms tunnel sync round-trip is still
-included once per batch. The
+the TPU). The sustained series renders BATCH (default 16) independent
+frames per dispatch and pipelines the dispatches (submit all, then drain),
+so the ~26 ms tunnel round-trip overlaps device execution; the
+single-dispatch series (one frame, sync included, outputs materialized)
+is also reported for apples-to-apples history with rounds 1-3. The
 image is still rendered + saved once, outside the timed region, as the
 correctness artifact.
 
@@ -147,10 +149,11 @@ def main():
         print(f"image save skipped: {e}", file=sys.stderr)
 
     # Both methodologies in the record (ADVICE r4): `value` is the
-    # sustained series (4 frames per dispatch, tunnel sync amortized) —
-    # the cross-round comparison basis from r4 on; `single_dispatch_*` is
-    # the r1-r3 methodology (one frame per dispatch, ~26 ms tunnel sync
-    # round-trip included) for apples-to-apples history.
+    # sustained series (BATCH frames per dispatch, pipelined, tunnel sync
+    # amortized) — the cross-round comparison basis from r4 on;
+    # `single_dispatch_*` is the r1-r3 methodology (one frame per
+    # dispatch, ~26 ms tunnel sync round-trip included) for
+    # apples-to-apples history.
     print(json.dumps({
         "metric": "bunny_rays_per_second_per_chip",
         "value": round(best, 1),

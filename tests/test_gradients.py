@@ -95,14 +95,17 @@ def test_atlas_texel_gradient_matches_fd():
 # DIFFERENTIABLE_FIELDS — the same accel bench.py measures.
 
 def test_albedo_gradient_matches_fd_flash():
+    # 8x8 x 2 bounces (was 12x12 x 3): the interpret-mode flash grad is
+    # the slow tier's dominant cost, and the check is |ad| moves + FD
+    # agreement, not image quality (VERDICT r5 item #7)
     ad = _fd_check(examples.three_balls(), "m_absorb_color", 5e-3, 1e-2,
-                   accel="flash")
+                   size=8, max_bounce=2, accel="flash")
     assert abs(ad) > 1e-6
 
 
 def test_atlas_texel_gradient_matches_fd_flash():
-    ad = _fd_check(examples.earth(), "atlas", 2e-3, 1e-2, size=10,
-                   accel="flash")
+    ad = _fd_check(examples.earth(), "atlas", 2e-3, 1e-2, size=8,
+                   max_bounce=2, accel="flash")
     assert abs(ad) > 1e-6
 
 
@@ -120,20 +123,27 @@ def test_fuzz_gradient_matches_fd_flash():
 def test_flash_gradient_matches_brute_gradient():
     """Full-vector gradient agreement between the brute and flash paths on
     a triangle-mesh scene (bunny-free: the one_triangle debug scene plus a
-    sphere), for albedo and atlas-free fields."""
-    for field in ("m_absorb_color", "m_emit_color"):
-        g = {}
-        for accel in ("brute", "flash"):
-            scene = examples.one_triangle().build(accel=accel)
-            size, spp = 10, 2
-            ray_ids = jnp.arange(size * size * spp, dtype=jnp.uint32)
-            target = jnp.zeros((size * size, 3), jnp.float32)
-            loss = make_render_loss(scene, width=size, height=size, spp=spp,
-                                    max_bounce=3, seed=7, fields=(field,))
-            base = jnp.asarray(getattr(scene.tables, field))
-            g[accel] = np.asarray(jax.grad(
-                lambda p: loss({field: p}, ray_ids, target))(base))
-        np.testing.assert_allclose(g["flash"], g["brute"], rtol=2e-4,
+    sphere), for albedo and emission simultaneously.
+
+    Slow-tier shrink (VERDICT r5 item #7): both fields ride ONE backward
+    pass per accel (a dict-valued loss) and the frame is 8x8x2 — the
+    interpret-mode flash grad dominates full-suite latency, and this
+    assertion needs gradient agreement, not image quality."""
+    fields = ("m_absorb_color", "m_emit_color")
+    g = {}
+    for accel in ("brute", "flash"):
+        scene = examples.one_triangle().build(accel=accel)
+        size, spp = 8, 2
+        ray_ids = jnp.arange(size * size * spp, dtype=jnp.uint32)
+        target = jnp.zeros((size * size, 3), jnp.float32)
+        loss = make_render_loss(scene, width=size, height=size, spp=spp,
+                                max_bounce=3, seed=7, fields=fields)
+        base = {f: jnp.asarray(getattr(scene.tables, f)) for f in fields}
+        g[accel] = jax.tree_util.tree_map(
+            np.asarray,
+            jax.grad(lambda p: loss(p, ray_ids, target))(base))
+    for f in fields:
+        np.testing.assert_allclose(g["flash"][f], g["brute"][f], rtol=2e-4,
                                    atol=1e-7)
 
 
