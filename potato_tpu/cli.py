@@ -41,6 +41,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "Multisampler::make_uv, src/render.rs:66-71) "
                         "instead of jittered")
     p.add_argument("--assets", default=None, help="assets directory override")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="write structured JSONL metrics (render_start/"
+                        "chunk/render_complete) to PATH ('-' = stderr; "
+                        "POTATO_METRICS env also works)")
 
 
 def main(argv=None):
@@ -98,10 +102,13 @@ def main(argv=None):
     # bench times a single-dispatch frame; render shows per-chunk progress
     show_progress = args.command == "render" and not args.no_progress
     t0 = time.time()
+    from potato_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics) if args.metrics else None
     out = render(scene, args.width, args.height, spp=args.spp,
                  max_bounce=args.max_bounce, seed=args.seed,
                  chunk_size=args.chunk_size, progress=show_progress,
-                 jitter=not args.no_jitter)
+                 jitter=not args.no_jitter, metrics=metrics)
     dt = time.time() - t0
     print(f"Rendering done in {dt:.2f} seconds "
           f"({out.segments / dt / 1e6:.1f}M rays/s)", file=sys.stderr)

@@ -88,13 +88,22 @@ def optimize_textures(scene: CompiledScene, target: np.ndarray, *,
                       checkpoint_path: Optional[str] = None,
                       checkpoint_every: int = 25,
                       log_every: int = 10,
-                      init: Optional[Dict[str, np.ndarray]] = None) -> OptimizeResult:
+                      init: Optional[Dict[str, np.ndarray]] = None,
+                      metrics=None) -> OptimizeResult:
     """Gradient-descend scene parameters to match `target` (H, W, 3).
 
     Resumes from `checkpoint_path` if it exists (step counter, params and
     optimizer moments all restored — a crash mid-optimization loses at most
     `checkpoint_every` steps).
+
+    metrics: optional utils.metrics.MetricsLogger (or POTATO_METRICS env
+    path) — emits structured opt_step / opt_checkpoint JSONL events.
     """
+    import time
+
+    from potato_tpu.utils.metrics import from_env_or
+
+    metrics = from_env_or(metrics)
     total = width * height * spp
     ray_ids = jnp.arange(total, dtype=jnp.uint32)
     target_rays = jnp.asarray(np.asarray(target, np.float32).reshape(-1, 3))
@@ -148,12 +157,16 @@ def optimize_textures(scene: CompiledScene, target: np.ndarray, *,
         os.replace(tmp, checkpoint_path)  # atomic: crash loses <= 1 interval
 
     for step in range(start_step, steps):
+        t_s = time.perf_counter()
         params, m, v, loss = step_fn(params, m, v, jnp.float32(step))
         losses.append(float(loss))
+        metrics.log("opt_step", step=step, loss=float(loss),
+                    seconds=round(time.perf_counter() - t_s, 4))
         if log_every and (step % log_every == 0 or step == steps - 1):
             print(f"step {step}: loss {float(loss):.6f}")
         if checkpoint_path and (step + 1) % checkpoint_every == 0:
             save(step + 1)
+            metrics.log("opt_checkpoint", step=step + 1)
     save(steps)
 
     return OptimizeResult(

@@ -221,11 +221,17 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
            with_aovs: bool = True,
            checkpoint_path: Optional[str] = None,
            checkpoint_every: int = 1,
-           jitter: bool = True) -> RenderOutput:
+           jitter: bool = True,
+           metrics=None) -> RenderOutput:
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
     src/main.rs:13-32).
 
     with_aovs controls only which buffers are fetched to the host.
+
+    metrics: optional utils.metrics.MetricsLogger (or POTATO_METRICS env
+    path) — emits structured render_start / chunk / render_complete
+    JSONL events, the per-step metrics stream the reference's progress
+    bar + single println (src/main.rs:37,92,105-106) lacked.
 
     checkpoint_path: running-image checkpoint for long renders (the
     subsystem the reference lacks: its tiles are completed-or-lost,
@@ -236,12 +242,22 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     final image bit-identical to an uninterrupted render. Implies
     per-chunk dispatch (the progress path).
     """
+    import time
+
+    from potato_tpu.utils.metrics import from_env_or
+
+    metrics = from_env_or(metrics)
+    t_start = time.perf_counter()
+
     total = width * height * spp
     if chunk_size is None:
         chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
     per_chunk = progress or checkpoint_path is not None
+    metrics.log("render_start", width=width, height=height, spp=spp,
+                max_bounce=max_bounce, seed=seed, chunk_size=chunk_size,
+                num_chunks=num_chunks, per_chunk=per_chunk)
 
     key = (width, height, spp, max_bounce, chunk_size, per_chunk, jitter)
     frame_fn = scene.fn_cache.get(key)
@@ -304,12 +320,16 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
             os.replace(tmp, checkpoint_path)  # atomic: never a torn file
 
         for i in range(len(chunks), num_chunks):
+            t_c = time.perf_counter()
             chunks.append(jax.block_until_ready(frame_fn(
                 scene.tables, scene.camera, jnp.asarray(seed, jnp.uint32),
                 starts[i])))
+            metrics.log("chunk", chunk=i, of=num_chunks,
+                        seconds=round(time.perf_counter() - t_c, 4))
             if checkpoint_path and ((i + 1) % checkpoint_every == 0
                                     or i + 1 == num_chunks):
                 save_checkpoint()
+                metrics.log("checkpoint", chunks_done=i + 1)
             if progress:
                 done = min((i + 1) * chunk_size, total)
                 print(f"\r[{done}/{total} rays, chunk {i + 1}/{num_chunks}]",
@@ -347,5 +367,9 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
     else:
         normal = np.zeros_like(color)
         coverage = np.zeros(color.shape[:2], np.float32)
+    wall = time.perf_counter() - t_start
+    metrics.log("render_complete", segments=segments,
+                seconds=round(wall, 4),
+                rays_per_s=round(segments / max(wall, 1e-9), 1))
     return RenderOutput(color=color, normal=normal, coverage=coverage,
                         segments=segments)
