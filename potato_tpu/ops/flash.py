@@ -120,6 +120,15 @@ class FlashAccel(NamedTuple):
     sph_perm: jnp.ndarray     # (Cs*K,) int32
     sph_cmin: jnp.ndarray     # (Cs,3)
     sph_cmax: jnp.ndarray     # (Cs,3)
+    # hybrid sphere split (scenes with > SPH_BRUTE_MAX spheres): the
+    # SPH_BRUTE_MAX LARGEST spheres are always resolved by the exact,
+    # differentiable XLA test and their bound folded into t_max BEFORE
+    # the queue build — more_balls' radius-1000 ground sphere then culls
+    # every cluster behind the ground for every ray, camera and bounce
+    # alike. Only the remaining (small) spheres live in kernel clusters.
+    sph_brute: jnp.ndarray         # (SB,) int32 original sphere ids
+    sph_brute_center: jnp.ndarray  # (SB,3) f32 baked (tables-free path)
+    sph_brute_radius: jnp.ndarray  # (SB,) f32
     # unified shade table, baked at build time (one row gather per ray in
     # the epilogue instead of a 10-gather table build per intersect call):
     # tri rows [na nb nc | ua ub uc | pa pb pc | mat] then sphere rows
@@ -268,16 +277,29 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
         c = np.zeros((1, 3))
         r = np.zeros((1,))
         S = 1
-    r3 = np.abs(r)[:, None].astype(np.float32)
-    smin = c.astype(np.float32) - r3
-    smax = c.astype(np.float32) + r3
+    if num_spheres > SPH_BRUTE_MAX:
+        # hybrid split: the SPH_BRUTE_MAX largest spheres go to the
+        # exact XLA path (stable order by descending radius); the rest
+        # stay in kernel clusters
+        by_radius = np.argsort(-np.abs(r), kind="stable")
+        brute_ids = np.sort(by_radius[:SPH_BRUTE_MAX]).astype(np.int32)
+        kern_ids = np.sort(by_radius[SPH_BRUTE_MAX:]).astype(np.int32)
+    else:
+        brute_ids = np.zeros((0,), np.int32)
+        kern_ids = np.arange(S, dtype=np.int32)
+    ck = c[kern_ids]
+    rk = r[kern_ids]
+    r3 = np.abs(rk)[:, None].astype(np.float32)
+    smin = ck.astype(np.float32) - r3
+    smax = ck.astype(np.float32) + r3
     sorder = _median_split_order(smin, smax, K)
-    stotal = max((S + K - 1) // K, 1) * K
+    stotal = max((kern_ids.shape[0] + K - 1) // K, 1) * K
     sph_cmin, sph_cmax = _aabbs_of(smin, smax, sorder, K, stotal)
     sph_perm = np.concatenate(
-        [sorder, np.zeros(stotal - sorder.shape[0], np.int32)])
+        [kern_ids[sorder],
+         np.zeros(stotal - sorder.shape[0], np.int32)]).astype(np.int32)
     sf = np.zeros((SPH_FEATURES, stotal), np.float64)
-    c_o, r_o = c[sorder], r[sorder]
+    c_o, r_o = ck[sorder], rk[sorder]
     ns = sorder.shape[0]
     sf[0:3, :ns] = c_o.T
     sf[3, :ns] = np.einsum("sd,sd->s", c_o, c_o) - r_o * r_o
@@ -307,8 +329,11 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
     if num_spheres <= SPH_BRUTE_MAX:
         spm = np.arange(np.asarray(tables.s_center).shape[0])
     else:
+        # kernel-ordered rows [0, stotal), then the brute set's rows
         spm = np.concatenate(
-            [sorder, np.zeros(stotal - sorder.shape[0], np.int32)])
+            [kern_ids[sorder],
+             np.zeros(stotal - sorder.shape[0], np.int32),
+             brute_ids]).astype(np.int32)
     sph_shade = np.concatenate([
         g("s_center")[spm], g("s_radius")[spm][:, None],
         np.zeros((spm.shape[0], 20), np.float32),
@@ -324,6 +349,9 @@ def build_flash_accel(tables, num_spheres: int, num_triangles: int) -> FlashAcce
         sph_feats=jnp.asarray(sf.T, jnp.float32),
         sph_perm=jnp.asarray(sph_perm),
         sph_cmin=jnp.asarray(sph_cmin), sph_cmax=jnp.asarray(sph_cmax),
+        sph_brute=jnp.asarray(brute_ids),
+        sph_brute_center=jnp.asarray(c[brute_ids].astype(np.float32)),
+        sph_brute_radius=jnp.asarray(r[brute_ids].astype(np.float32)),
         shade=jnp.asarray(shade),
         world_min=jnp.asarray(np.nan_to_num(wmin, posinf=0.0), jnp.float32),
         world_max=jnp.asarray(np.nan_to_num(wmax, neginf=1.0), jnp.float32),
@@ -886,16 +914,16 @@ def _process_block(cfg: _KCfg, g: int, prim, qi_ref, qf_ref, rays_ref,
                                    keepdims=True)
 
 
-def _sphere_brute_xla(tables, rays: RayBatch):
-    """Exact closest sphere hit over the (small) sphere table, in XLA.
+def _sphere_brute_xla(centers, radii, rays: RayBatch):
+    """Exact closest sphere hit over a (small) sphere set, in XLA.
 
     Fully differentiable (unlike the kernel phase whose outputs are
     detached): center/radius gradients flow through the winning t.
-    Returns (s_t (B,), s_slot (B,) int32 into the ORIGINAL sphere table,
+    Returns (s_t (B,), s_slot (B,) int32 index into `centers`,
     s_hit (B,) bool).
     """
     st, s_valid = sphere_hit_t(
-        tables.s_center[None, :, :], tables.s_radius[None, :],
+        centers[None, :, :], radii[None, :],
         rays.origin[:, None, :], rays.direction[:, None, :],
         rays.t_min[:, None], rays.t_max[:, None])
     key = jnp.where(s_valid, st, BIG)
@@ -924,14 +952,33 @@ def _flash_raw(accel: FlashAccel, rays: RayBatch, interpret: bool = False,
     bp = padded.origin.shape[0]
     nb = bp // R
 
-    sph_kernel = tables is None or accel.num_spheres > SPH_BRUTE_MAX
+    # XLA-brute sphere set: ALL spheres when the scene is small, the
+    # SPH_BRUTE_MAX largest when it is not (hybrid split — see
+    # FlashAccel.sph_brute). Either way their closest-hit bound folds
+    # into t_max BEFORE the queue build, so clusters behind them are
+    # never visited.
+    sph_kernel = accel.num_spheres > SPH_BRUTE_MAX
     sph_xla = None
-    if not sph_kernel:
-        s_t, s_slot, s_hit = _sphere_brute_xla(tables, padded)
+    if not sph_kernel and tables is not None:
+        s_t, s_slot, s_hit = _sphere_brute_xla(tables.s_center,
+                                               tables.s_radius, padded)
         sph_xla = (s_t[:b], s_slot[:b], s_hit[:b])
         # detached fold: the queue build and kernel are not differentiated
         # (kernel outputs are stop_gradient'ed); gradients reach the
         # sphere through the epilogue's use of s_t itself
+        padded = padded._replace(
+            t_max=jnp.minimum(padded.t_max, jax.lax.stop_gradient(s_t)))
+    elif sph_kernel and accel.sph_brute.shape[0] > 0:
+        # hybrid: tables (differentiable) when available, baked constants
+        # otherwise (the tables-free tooling path)
+        if tables is not None:
+            centers = tables.s_center[accel.sph_brute]
+            radii = tables.s_radius[accel.sph_brute]
+        else:
+            centers = accel.sph_brute_center
+            radii = accel.sph_brute_radius
+        s_t, s_slot, s_hit = _sphere_brute_xla(centers, radii, padded)
+        sph_xla = (s_t[:b], s_slot[:b], s_hit[:b])
         padded = padded._replace(
             t_max=jnp.minimum(padded.t_max, jax.lax.stop_gradient(s_t)))
 
@@ -1034,10 +1081,22 @@ def intersect_flash(accel: FlashAccel, tables, rays: RayBatch,
     tr_t = out[0]
     tr_slot = jnp.clip(out[1].astype(jnp.int32), 0, ntp - 1)
     tr_hit = tr_t < BIG
-    if sph_xla is None:
-        s_t = out[2]
-        s_slot = jnp.clip(out[3].astype(jnp.int32), 0, nsp - 1)
-        s_hit = s_t < BIG
+    sph_kernel = accel.num_spheres > SPH_BRUTE_MAX
+    if sph_kernel:
+        stotal = accel.sph_perm.shape[0]
+        k_t = out[2]
+        k_slot = jnp.clip(out[3].astype(jnp.int32), 0, stotal - 1)
+        k_hit = k_t < BIG
+        if sph_xla is None:
+            s_t, s_slot, s_hit = k_t, k_slot, k_hit
+        else:
+            # hybrid: the XLA-tested largest spheres vs the kernel's small
+            # ones; XLA rows sit after the kernel-ordered rows in `shade`
+            x_t, x_idx, x_hit = sph_xla
+            x_wins = x_hit & (~k_hit | (x_t <= k_t))
+            s_t = jnp.where(x_wins, x_t, k_t)
+            s_slot = jnp.where(x_wins, stotal + x_idx, k_slot)
+            s_hit = x_hit | k_hit
     else:
         s_t, s_slot, s_hit = sph_xla
 
