@@ -21,6 +21,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SCENES = ["bunny", "glass_bunny", "more_balls_optimized", "earth",
           "three_balls"]
 
+# One-sentence read on each scene's number (VERDICT r5 item #3), kept
+# here so regenerating the matrix never drops them.
+FINDINGS = {
+    "bunny": "the r5 headline scene - accel constants (TOP_P=2, W=16, "
+             "chunk 2^15) tuned and re-swept here; bench.py additionally "
+             "pipelines dispatch submits, hence its higher headline",
+    "glass_bunny": "~80% of the device frame is the Pallas kernel itself: "
+             "dielectric interior rays are incoherent, the block-bundle "
+             "interval slab degrades to whole-parent visits and block-max "
+             "early termination stops helping - the honest fix is per-ray "
+             "traversal (future work); the regeneration-pool counterfactual "
+             "measured SLOWER (10.0M)",
+    "more_balls_optimized": "2.5x its round-5 start (10.5M): the "
+             ">16-material record fetch became one row gather + selector "
+             "dot (was 8 per-lane gathers, ~183 ms/frame), and the hybrid "
+             "sphere split XLA-brutes the SPH_BRUTE_MAX largest spheres "
+             "(the radius-1000 ground) and folds their bound into t_max "
+             "before the queue build; remaining cost is the in-kernel "
+             "sphere phase on ~39%-live bounce passes",
+    "earth": "a near-trivial-intersection scene showing the non-kernel "
+             "pipeline floor (raygen+shade+RNG+state) supports >160M rays/s",
+    "three_balls": "thin-lens camera (the lens disk draw + its trig live "
+             "here, unlike pinhole bunny) + 4-sphere XLA-brute path + "
+             "dielectric bounces",
+}
+
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PERF_SCENES_r05.json"
@@ -90,8 +116,10 @@ def main():
         "hardware": "TPU v5e (1 chip, axon tunnel)",
         "workload": f"{width}x{height} x {spp}spp x <={max_bounce} bounces, "
                     f"flash accel, sustained {BATCH} frames/dispatch "
-                    "(bench.py methodology), best of 3",
+                    "sequential (bench.py additionally pipelines submits), "
+                    "best of 3",
         "scenes": results,
+        "findings": {k: FINDINGS[k] for k in results},
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=2)
