@@ -24,7 +24,6 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from potato_tpu.core import math as pmath
 from potato_tpu.core import rng as prng
 from potato_tpu.core.types import BIG, RAY_EPSILON, HitBatch, RayBatch, hits_at_infinity
 from potato_tpu.ops.material import eval_emit, eval_material
@@ -41,62 +40,31 @@ class TraceResult(NamedTuple):
                              # per-segment scene.hit calls
 
 
-def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
-                max_bounce: int, seed, features=None,
-                early_exit: bool = False, live=None,
-                ior_score: bool = False, aovs: bool = True) -> TraceResult:
-    """Trace a batch of camera rays to completion.
+class PathState(NamedTuple):
+    """Per-lane loop state of the bounce loop (one lane = one path)."""
 
-    intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
-    entry point (brute force or clustered), fixed per compiled scene.
+    rays: RayBatch
+    radiance: jnp.ndarray
+    throughput: jnp.ndarray
+    active: jnp.ndarray
+    aov_normal: jnp.ndarray
+    aov_hit: jnp.ndarray
+    segments: jnp.ndarray
 
-    features: SceneFeatures (or None = all) — statically skips material/
-    texture variants the scene never uses (scene specialization).
 
-    early_exit: stop bouncing once every lane has retired (lax.while_loop
-    instead of lax.scan). Bit-identical output — skipped bounces contribute
-    exactly zero — but while_loop is not reverse-mode differentiable, so
-    gradient paths keep the scan (default).
+def init_state(rays: RayBatch, live=None) -> PathState:
+    """Fresh bounce-loop state for a batch of camera rays.
+
+    Derives every carried constant from the ray data instead of literals:
+    under shard_map, literals are mesh-invariant while per-bounce updates
+    are axis-varying, and lax.scan requires carry types to match. Arithmetic
+    on the (varying) rays gives correctly-typed zeros/ones everywhere,
+    inside and outside shard_map.
 
     live: optional (B,) bool — lanes born dead (padding in a fixed-shape
     chunk) trace nothing, contribute nothing, and are excluded from the
     segments counter.
-
-    aovs: statically skip the first-hit AOV updates (the bounce loop's
-    `bounce == 0` selects) when the caller only wants radiance — the
-    bench path; the returned aov fields are then the carried zeros.
-
-    ior_score: fold the score-function surrogate weight for the
-    dielectric's reflect/refract Bernoulli into throughput
-    (diff/surrogate.py) so d(image)/d(IOR) includes the choice-probability
-    term. Forward images are bit-identical (the weight's value is 1);
-    enable when optimizing m_scatter_param through a render.
     """
-    b = ray_ids.shape
-    ray_ids = ray_ids.astype(jnp.uint32)
-
-    def background_radiance(direction):
-        hit_inf = hits_at_infinity(direction)
-        kind = jnp.broadcast_to(tables.bg_kind, b)
-        color = jnp.broadcast_to(tables.bg_color, b + (3,))
-        tex = jnp.broadcast_to(tables.bg_tex, b)
-        return eval_emit(tables, kind, color, tex, direction, hit_inf,
-                         features=features)
-
-    class State(NamedTuple):
-        rays: RayBatch
-        radiance: jnp.ndarray
-        throughput: jnp.ndarray
-        active: jnp.ndarray
-        aov_normal: jnp.ndarray
-        aov_hit: jnp.ndarray
-        segments: jnp.ndarray
-
-    # Derive every carried constant from the ray data instead of literals:
-    # under shard_map, literals are mesh-invariant while per-bounce updates
-    # are axis-varying, and lax.scan requires carry types to match. Arithmetic
-    # on the (varying) rays gives correctly-typed zeros/ones everywhere,
-    # inside and outside shard_map.
     zb = rays.t_min * 0.0                      # (B,) varying zeros
     zb3 = zb[..., None] + jnp.zeros(3, jnp.float32)
     active0 = (zb == 0.0) if live is None else ((zb == 0.0) & live)
@@ -104,8 +72,7 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         # dead-born lanes carry an inert ray (t_max < t_min) so the
         # kernels' block-level dead-lane culling skips them entirely
         rays = rays._replace(t_max=jnp.where(live, rays.t_max, zb - 1.0))
-
-    init = State(
+    return PathState(
         rays=rays,
         radiance=zb3,
         throughput=zb3 + 1.0,
@@ -115,7 +82,23 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         segments=jnp.sum(zb).astype(jnp.int32),
     )
 
-    def bounce_step(state: State, bounce):
+
+def make_bounce_step(tables, intersect_fn: Callable, seed, features=None,
+                     ior_score: bool = False, aovs: bool = True):
+    """Build the single-bounce transition `step(state, bounce, ray_ids)`.
+
+    One call traces one path segment for every lane: intersect, shade,
+    accumulate emission/background into radiance, draw the scatter
+    direction, and advance the ray. Shared by the chunked depth-first
+    driver (`trace_paths`) and the compacted breadth-first driver
+    (render/compact.py) so the two are bit-identical per ray by
+    construction.
+    """
+
+    def bounce_step(state: PathState, bounce, ray_ids):
+        ray_ids = ray_ids.astype(jnp.uint32)
+        b = ray_ids.shape
+
         hit: HitBatch = intersect_fn(tables, state.rays)
 
         # Sanitize miss lanes before shading: their BIG-t positions (~3e38)
@@ -144,7 +127,12 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
         mat = eval_material(tables, hit.material, state.rays.direction, hit,
                             u1, u2, u3, u4, features=features,
                             ior_score=ior_score)
-        bg = background_radiance(state.rays.direction)
+
+        hit_inf = hits_at_infinity(state.rays.direction)
+        bg = eval_emit(tables, jnp.broadcast_to(tables.bg_kind, b),
+                       jnp.broadcast_to(tables.bg_color, b + (3,)),
+                       jnp.broadcast_to(tables.bg_tex, b),
+                       state.rays.direction, hit_inf, features=features)
 
         contrib = jnp.where(hit.valid[..., None], mat.emit, bg)
         live = state.active[..., None].astype(jnp.float32)
@@ -181,8 +169,50 @@ def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
             t_max=jnp.where(active, zb_ + BIG, zb_ - 1.0),
         )
         segments = state.segments + jnp.sum(state.active.astype(jnp.int32))
-        return State(next_rays, radiance, throughput, active,
-                     aov_normal, aov_hit, segments), None
+        return PathState(next_rays, radiance, throughput, active,
+                         aov_normal, aov_hit, segments)
+
+    return bounce_step
+
+
+def trace_paths(tables, intersect_fn: Callable, rays: RayBatch, ray_ids,
+                max_bounce: int, seed, features=None,
+                early_exit: bool = False, live=None,
+                ior_score: bool = False, aovs: bool = True) -> TraceResult:
+    """Trace a batch of camera rays to completion.
+
+    intersect_fn(tables, rays) -> HitBatch is the acceleration-structure
+    entry point (brute force or clustered), fixed per compiled scene.
+
+    features: SceneFeatures (or None = all) — statically skips material/
+    texture variants the scene never uses (scene specialization).
+
+    early_exit: stop bouncing once every lane has retired (lax.while_loop
+    instead of lax.scan). Bit-identical output — skipped bounces contribute
+    exactly zero — but while_loop is not reverse-mode differentiable, so
+    gradient paths keep the scan (default).
+
+    live: optional (B,) bool — lanes born dead (padding in a fixed-shape
+    chunk) trace nothing, contribute nothing, and are excluded from the
+    segments counter.
+
+    aovs: statically skip the first-hit AOV updates (the bounce loop's
+    `bounce == 0` selects) when the caller only wants radiance — the
+    bench path; the returned aov fields are then the carried zeros.
+
+    ior_score: fold the score-function surrogate weight for the
+    dielectric's reflect/refract Bernoulli into throughput
+    (diff/surrogate.py) so d(image)/d(IOR) includes the choice-probability
+    term. Forward images are bit-identical (the weight's value is 1);
+    enable when optimizing m_scatter_param through a render.
+    """
+    ray_ids = ray_ids.astype(jnp.uint32)
+    init = init_state(rays, live=live)
+    step = make_bounce_step(tables, intersect_fn, seed, features=features,
+                            ior_score=ior_score, aovs=aovs)
+
+    def bounce_step(state: PathState, bounce):
+        return step(state, bounce, ray_ids), None
 
     if early_exit:
         # while_loop form: identical per-bounce body, but the loop stops as

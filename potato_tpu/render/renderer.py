@@ -189,26 +189,55 @@ def _build_frame_fn(scene: CompiledScene, width: int, height: int, spp: int,
     return jax.jit(frame)
 
 
+def default_driver(scene: CompiledScene) -> str:
+    """Frame-driver policy, measured per scene on v5e (PERF_SCENES_r05).
+
+    "compact" (render/compact.py) wins when bounce passes run at low mean
+    liveness — scenes whose paths diverge in length (dielectrics keep
+    bouncing while neighbours retire) — by packing survivors densely so
+    every kernel block is fully live. "chunked" wins on short-coherent-
+    path scenes (bunny/earth, mean path ~1.6) where passes are near-full
+    anyway and compaction is pure overhead.
+    """
+    from potato_tpu.scene import description as d
+
+    diverges = d.SCATTER_DIELECTRIC in scene.features.scatter_kinds
+    return "compact" if diverges else "chunked"
+
+
 def compile_frame(scene: CompiledScene, width: int, height: int, spp: int = 4,
                   max_bounce: int = 8, chunk_size: Optional[int] = None,
-                  aovs: bool = False):
+                  aovs: bool = False, driver: Optional[str] = None):
     """Compile (or fetch cached) the single-dispatch frame function.
 
     Returns (frame_fn, starts): frame_fn(tables, camera, seed_u32, starts)
     -> TraceResult of stacked chunks, entirely on device. This is the
     device-only benchmarking surface — timing it with block_until_ready
     measures TPU compute without host-transfer latency (bench.py).
+
+    driver: "chunked" (lax.map over chunks, each running its bounce loop
+    to completion) or "compact" (bounce-major with live-ray compaction,
+    render/compact.py). None = per-scene default (default_driver).
     """
     total = width * height * spp
     if chunk_size is None:
         chunk_size = min(total, 1 << 15)  # swept on v5e: 2^15 beats 2^14..2^20 (finer early-exit granularity wins; tools/profile_chunksize.py)
     chunk_size = min(chunk_size, total)
     num_chunks = (total + chunk_size - 1) // chunk_size
-    key = (width, height, spp, max_bounce, chunk_size, False, True, aovs)
+    if driver is None:
+        driver = default_driver(scene)
+    key = (width, height, spp, max_bounce, chunk_size, False, True, aovs,
+           driver)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
-        frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, aovs=aovs)
+        if driver == "compact":
+            from potato_tpu.render.compact import build_compact_frame_fn
+            frame_fn = build_compact_frame_fn(scene, width, height, spp,
+                                              max_bounce, chunk_size,
+                                              aovs=aovs)
+        else:
+            frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
+                                       chunk_size, aovs=aovs)
         scene.fn_cache[key] = frame_fn
     starts = jnp.arange(num_chunks, dtype=jnp.uint32) * jnp.uint32(chunk_size)
     return frame_fn, starts
@@ -222,6 +251,7 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
            checkpoint_path: Optional[str] = None,
            checkpoint_every: int = 1,
            jitter: bool = True,
+           driver: Optional[str] = None,
            metrics=None) -> RenderOutput:
     """Render a full frame (reference defaults: 800x600, spp 4, bounce 8,
     src/main.rs:13-32).
@@ -259,12 +289,27 @@ def render(scene: CompiledScene, width: int, height: int, spp: int = 4,
                 max_bounce=max_bounce, seed=seed, chunk_size=chunk_size,
                 num_chunks=num_chunks, per_chunk=per_chunk)
 
-    key = (width, height, spp, max_bounce, chunk_size, per_chunk, jitter)
+    # driver choice: the compact (bounce-major) driver applies to the
+    # single-dispatch path only — the per-chunk progress/checkpoint path
+    # needs chunk-granular results and stays chunked.
+    if driver is None:
+        driver = default_driver(scene)
+    if per_chunk:
+        driver = "chunked"
+
+    key = (width, height, spp, max_bounce, chunk_size, per_chunk, jitter,
+           driver)
     frame_fn = scene.fn_cache.get(key)
     if frame_fn is None:
-        frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
-                                   chunk_size, per_chunk=per_chunk,
-                                   jitter=jitter)
+        if driver == "compact":
+            from potato_tpu.render.compact import build_compact_frame_fn
+            frame_fn = build_compact_frame_fn(scene, width, height, spp,
+                                              max_bounce, chunk_size,
+                                              aovs=True, jitter=jitter)
+        else:
+            frame_fn = _build_frame_fn(scene, width, height, spp, max_bounce,
+                                       chunk_size, per_chunk=per_chunk,
+                                       jitter=jitter)
         scene.fn_cache[key] = frame_fn
 
     # fixed chunk shape: the tail chunk's out-of-range lanes are born dead
