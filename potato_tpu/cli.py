@@ -36,6 +36,13 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cluster-size", type=int, default=64)
     p.add_argument("--chunk-size", type=int, default=None,
                    help="rays per jit call (default: min(total, 2^15))")
+    p.add_argument("--driver", choices=["auto", "chunked", "compact"],
+                   default="auto",
+                   help="frame driver: chunked (per-chunk bounce loops) or "
+                        "compact (breadth-first with live-ray compaction; "
+                        "wins on path-length-divergent scenes). auto = "
+                        "measured per-scene policy. Progress/checkpoint "
+                        "renders always use chunked.")
     p.add_argument("--no-jitter", action="store_true",
                    help="regular-grid pixel sampling (reference "
                         "Multisampler::make_uv, src/render.rs:66-71) "
@@ -108,7 +115,8 @@ def main(argv=None):
     out = render(scene, args.width, args.height, spp=args.spp,
                  max_bounce=args.max_bounce, seed=args.seed,
                  chunk_size=args.chunk_size, progress=show_progress,
-                 jitter=not args.no_jitter, metrics=metrics)
+                 jitter=not args.no_jitter, metrics=metrics,
+                 driver=None if args.driver == "auto" else args.driver)
     dt = time.time() - t0
     print(f"Rendering done in {dt:.2f} seconds "
           f"({out.segments / dt / 1e6:.1f}M rays/s)", file=sys.stderr)

@@ -74,7 +74,7 @@ from potato_tpu.ops.intersect import sphere_hit_t
 
 import os as _os
 
-R = 512        # rays per block (one grid step)
+R = int(_os.environ.get("POTATO_R", "512"))  # rays per block (one grid step)
 K = 128        # primitives per parent cluster (one lane tile)
 W = int(_os.environ.get("POTATO_W", "16"))  # primitives per child cluster
                # (packing granularity; sweepable for experiments)
@@ -91,7 +91,8 @@ TOP_P = int(_os.environ.get("POTATO_TOP_P", "2"))
                # decisively both times — extra capacity inflates the
                # top_k width and the unrolled guarded-visit chain far
                # faster than it drains the overflow tail.
-SPH_BRUTE_MAX = 16  # sphere count at/below which spheres are tested in XLA
+SPH_BRUTE_MAX = int(_os.environ.get("POTATO_SPH_BRUTE_MAX", "16"))
+               # sphere count at/below which spheres are tested in XLA
 RAY_COLS = 8   # o(3) d(3) tmin tmax;  m = d x o is derived in-kernel
                # (9 ops on (1, R) rows — cheaper than shipping 3 more
                # rows per ray and padding the operand to 16)

@@ -25,26 +25,33 @@ SCENES = ["bunny", "glass_bunny", "more_balls_optimized", "earth",
 # here so regenerating the matrix never drops them.
 FINDINGS = {
     "bunny": "the r5 headline scene - accel constants (TOP_P=2, W=16, "
-             "chunk 2^15) tuned and re-swept here; bench.py additionally "
-             "pipelines dispatch submits, hence its higher headline",
-    "glass_bunny": "~80% of the device frame is the Pallas kernel itself: "
-             "dielectric interior rays are incoherent, the block-bundle "
-             "interval slab degrades to whole-parent visits and block-max "
-             "early termination stops helping - the honest fix is per-ray "
-             "traversal (future work); the regeneration-pool counterfactual "
-             "measured SLOWER (10.0M)",
-    "more_balls_optimized": "2.5x its round-5 start (10.5M): the "
+             "chunk 2^15) tuned and re-swept here; stays on the CHUNKED "
+             "driver (compact measured 62.9M: at mean path 1.57 most "
+             "passes are the always-full bounce 0, so compaction is pure "
+             "overhead); bench.py additionally pipelines dispatch "
+             "submits, hence its higher headline",
+    "glass_bunny": "2.1x via the compacted breadth-first driver "
+             "(render/compact.py): chunked ran 451 passes at 39% mean "
+             "liveness (80% of frame = kernel on mostly-dead blocks); "
+             "compact runs 179 passes (floor 175) fully live, and the "
+             "free coherence-keyed compaction sort (direction octant + "
+             "origin Morton) re-tightens the per-block interval slabs. "
+             "Still kernel-bound (~63%): incoherent interior segments "
+             "cost ~29 ns vs 2.2 ns for coherent bounce-0 rays - per-ray "
+             "traversal remains the next design if this scene must go "
+             "faster",
+    "more_balls_optimized": "3.6x its round-5 start (10.5M): the "
              ">16-material record fetch became one row gather + selector "
-             "dot (was 8 per-lane gathers, ~183 ms/frame), and the hybrid "
-             "sphere split XLA-brutes the SPH_BRUTE_MAX largest spheres "
-             "(the radius-1000 ground) and folds their bound into t_max "
-             "before the queue build; remaining cost is the in-kernel "
-             "sphere phase on ~39%-live bounce passes",
+             "dot, the hybrid sphere split XLA-brutes the SPH_BRUTE_MAX "
+             "largest spheres (re-swept under compact: 16 still beats "
+             "64/128), and the compact driver packs its 39%-live bounce "
+             "passes dense (25.7 -> 39.1M)",
     "earth": "a near-trivial-intersection scene showing the non-kernel "
-             "pipeline floor (raygen+shade+RNG+state) supports >160M rays/s",
+             "pipeline floor (raygen+shade+RNG+state) supports >160M "
+             "rays/s; stays chunked (compact 66.0M)",
     "three_balls": "thin-lens camera (the lens disk draw + its trig live "
              "here, unlike pinhole bunny) + 4-sphere XLA-brute path + "
-             "dielectric bounces",
+             "dielectric bounces; compact driver 68.1 -> 85.1M",
 }
 
 
@@ -56,7 +63,7 @@ def main():
     import numpy as np
 
     from potato_tpu.cache import enable_persistent_cache
-    from potato_tpu.render.renderer import compile_frame
+    from potato_tpu.render.renderer import compile_frame, default_driver
     from potato_tpu.scene import examples
 
     enable_persistent_cache()
@@ -110,6 +117,7 @@ def main():
             "num_spheres": scene.num_spheres,
             "sphere_path": ("in-kernel clusters"
                             if scene.num_spheres > 16 else "xla-brute"),
+            "driver": default_driver(scene),
         }
 
     doc = {
