@@ -40,18 +40,21 @@ FINDINGS = {
              "cost ~29 ns vs 2.2 ns for coherent bounce-0 rays - per-ray "
              "traversal remains the next design if this scene must go "
              "faster",
-    "more_balls_optimized": "3.6x its round-5 start (10.5M): the "
+    "more_balls_optimized": "4.9x its round-5 start (10.5M): the "
              ">16-material record fetch became one row gather + selector "
              "dot, the hybrid sphere split XLA-brutes the SPH_BRUTE_MAX "
              "largest spheres (re-swept under compact: 16 still beats "
-             "64/128), and the compact driver packs its 39%-live bounce "
-             "passes dense (25.7 -> 39.1M)",
+             "64/128), the compact driver packs its 39%-live bounce "
+             "passes dense (25.7 -> 39.1M), and the small-texture-table "
+             "fetch became one one-hot MXU dot (ops/texture.py: even a "
+             "3-row per-lane gather costs row-rate, ~24 ms/frame here; "
+             "39.1 -> 51.5M)",
     "earth": "a near-trivial-intersection scene showing the non-kernel "
              "pipeline floor (raygen+shade+RNG+state) supports >160M "
              "rays/s; stays chunked (compact 66.0M)",
     "three_balls": "thin-lens camera (the lens disk draw + its trig live "
              "here, unlike pinhole bunny) + 4-sphere XLA-brute path + "
-             "dielectric bounces; compact driver 68.1 -> 85.1M",
+             "dielectric bounces; compact driver + one-hot texture fetch 68.1 -> 101.2M",
 }
 
 
